@@ -1,0 +1,270 @@
+"""Effect-composition pipeline — the reference's if-tree as a data table.
+
+Reference: ``apply_image_process`` (app.py:116-740) chains effects in the
+fixed order grayscale → text → pixel art → style transfer → style mixing →
+color palette → depth, where each heavyweight effect repeats a 3-way
+text-mask dispatch (location-only / texture-only / location+texture: apply
+the effect to the ORIGINAL image, then mask-composite; any combo with
+transfer: apply to the running output). Here that dispatch is one shared
+function and each stage is a row in a table.
+
+Models (mask extractor, emoji extractor, text transfer, depth) are
+injected through a registry so the pipeline is testable with stubs and the
+heavy networks load lazily.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tbist_tpu.effects import basic, pixel_art as pixel_art_fx, style as style_fx
+from tbist_tpu.ops import masks as mask_ops
+from tbist_tpu.ops import mip as mip_ops
+from tbist_tpu.utils.config import EffectRequest, GatysConfig, TextEffectConfig
+from tbist_tpu.utils.imageio import to_device
+from tbist_tpu.utils.logging import RunMetrics
+
+
+@dataclasses.dataclass
+class ModelRegistry:
+    """Injected model callables; every field has a lazy default."""
+
+    vgg_params: Any = None
+    # (image NHWC, prompt) -> stylized NHWC
+    text_transfer: Optional[Callable] = None
+    # (image NHWC, prompt) -> (H, W) bool mask
+    mask_extractor: Optional[Callable] = None
+    # (prompt) -> (He, We) bool stencil
+    emoji_extractor: Optional[Callable] = None
+    # (image NHWC) -> (H, W) float depth
+    depth_estimator: Optional[Callable] = None
+
+    def resolve(self) -> "ModelRegistry":
+        from tbist_tpu.weights import vgg as vgg_weights
+
+        if self.vgg_params is None:
+            self.vgg_params = vgg_weights.get_params()
+        if self.text_transfer is None:
+            from tbist_tpu.effects import text_transfer as tt
+
+            self.text_transfer = lambda img, prompt: tt.perform_transfer(img, prompt)
+        if self.mask_extractor is None:
+            from tbist_tpu.effects import masking
+
+            self.mask_extractor = masking.default_mask_extractor()
+        if self.emoji_extractor is None:
+            from tbist_tpu.effects import masking
+
+            self.emoji_extractor = masking.default_emoji_extractor()
+        if self.depth_estimator is None:
+            from tbist_tpu.effects import depth as depth_fx
+
+            self.depth_estimator = depth_fx.default_depth_estimator()
+        return self
+
+
+@dataclasses.dataclass
+class EffectInputs:
+    """Host-side images the effects consume (style refs, palettes)."""
+
+    style_image: Optional[jnp.ndarray] = None  # style transfer + depth
+    style_image1: Optional[jnp.ndarray] = None  # mixing
+    style_image2: Optional[jnp.ndarray] = None
+    color_palette_image: Optional[jnp.ndarray] = None  # Reinhard target
+    pixel_palette_image: Optional[jnp.ndarray] = None  # palette-from-image
+
+
+@dataclasses.dataclass
+class _TextState:
+    """Masks computed once by the text stage and reused downstream."""
+
+    loc_mask: Optional[jnp.ndarray] = None  # (H, W) bool
+    emoji_mask: Optional[jnp.ndarray] = None  # (He, We) bool
+    mode: str = "none"  # none|transfer|location|texture|location+texture
+
+
+def _text_mode(cfg: Optional[TextEffectConfig]) -> str:
+    if cfg is None:
+        return "none"
+    t = bool(cfg.style_prompt)
+    l = bool(cfg.location_prompt)
+    x = bool(cfg.texture_prompt)
+    if t:
+        return "transfer"
+    if l and x:
+        return "location+texture"
+    if l:
+        return "location"
+    if x:
+        return "texture"
+    return "none"
+
+
+def _masked_apply(
+    effect_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    original: jnp.ndarray,
+    current: jnp.ndarray,
+    state: _TextState,
+    req: EffectRequest,
+) -> jnp.ndarray:
+    """Shared 3-way text-mask dispatch around a downstream effect."""
+    comp = req.composite
+    if state.mode == "location":
+        styled = effect_fn(original)
+        return mask_ops.composite_by_mask(
+            original, styled, state.loc_mask, int(comp.edge_smoothing)
+        )
+    if state.mode == "texture":
+        styled = effect_fn(original)
+        ones = jnp.ones(styled.shape[1:3], bool)
+        return mask_ops.emoji_composite(
+            original, styled, ones, state.emoji_mask,
+            comp.blur_strength, comp.step_size_multiplier, comp.style_strength,
+        )
+    if state.mode == "location+texture":
+        styled = effect_fn(original)
+        return mask_ops.emoji_composite(
+            original, styled, state.loc_mask, state.emoji_mask,
+            comp.blur_strength, comp.step_size_multiplier, comp.style_strength,
+        )
+    return effect_fn(current)
+
+
+def apply_image(
+    image: jnp.ndarray,
+    req: EffectRequest,
+    inputs: Optional[EffectInputs] = None,
+    registry: Optional[ModelRegistry] = None,
+    metrics: Optional[RunMetrics] = None,
+) -> Optional[jnp.ndarray]:
+    """Run the effect chain on an NHWC [0,1] image. None on invalid input,
+    matching the reference's contract (SURVEY §5 failure handling)."""
+    inputs = inputs or EffectInputs()
+    registry = (registry or ModelRegistry()).resolve()
+    metrics = metrics if metrics is not None else RunMetrics()
+
+    original = image
+    output = image
+    state = _TextState()
+
+    # ---- 1. grayscale (app.py:157-159) ----
+    if req.grayscale:
+        output = basic.grayscale(output)
+
+    # ---- 2. text effects (app.py:161-282) ----
+    tcfg = req.text
+    state.mode = _text_mode(tcfg)
+    if state.mode != "none":
+        if tcfg.location_prompt:
+            state.loc_mask = registry.mask_extractor(original, tcfg.location_prompt)
+        if tcfg.texture_prompt:
+            state.emoji_mask = registry.emoji_extractor(tcfg.texture_prompt)
+
+        if state.mode == "transfer":
+            styled = registry.text_transfer(original, tcfg.style_prompt)
+            has_l, has_x = bool(tcfg.location_prompt), bool(tcfg.texture_prompt)
+            if has_l and has_x:
+                output = mask_ops.emoji_composite(
+                    original, styled, state.loc_mask, state.emoji_mask,
+                    tcfg.emoji_blur_strength, tcfg.emoji_step_size,
+                    tcfg.emoji_style_strength,
+                )
+            elif has_l:
+                output = mask_ops.composite_by_mask(
+                    original, styled, state.loc_mask, int(tcfg.edge_smoothing)
+                )
+            elif has_x:
+                ones = jnp.ones(styled.shape[1:3], bool)
+                output = mask_ops.emoji_composite(
+                    original, styled, ones, state.emoji_mask,
+                    tcfg.emoji_blur_strength, tcfg.emoji_step_size,
+                    tcfg.emoji_style_strength,
+                )
+            else:
+                output = styled
+        elif state.mode == "location":
+            m = state.loc_mask.astype(jnp.float32)
+            output = jnp.repeat(m[None, ..., None], 3, axis=-1)
+        elif state.mode == "texture":
+            m = state.emoji_mask.astype(jnp.float32)
+            output = jnp.repeat(m[None, ..., None], 3, axis=-1)
+        else:  # location+texture: merged-mask visualization (app.py:265-282)
+            merged = mask_ops.merge_content_style_masks(
+                state.loc_mask, state.emoji_mask,
+                tcfg.emoji_blur_strength, tcfg.emoji_step_size,
+            )
+            output = jnp.repeat(merged[None, ..., None], 3, axis=-1)
+
+    # ---- 3. pixel art (app.py:284-370) ----
+    if req.pixel_art is not None:
+        pcfg = req.pixel_art
+        palette = None
+        if pcfg.use_palette and pcfg.palette_from_image:
+            if inputs.pixel_palette_image is None:
+                return None
+            from tbist_tpu.ops import palette as palette_ops
+
+            palette = palette_ops.palette_from_image(
+                np.asarray(inputs.pixel_palette_image[0]),
+                pcfg.palette_num_colors,
+                jax.random.key(0),
+            )
+        output = _masked_apply(
+            lambda img: pixel_art_fx.pixel_art(img, pcfg, palette=palette),
+            original, output, state, req,
+        )
+
+    # ---- 4. style transfer (app.py:372-470) ----
+    if req.style_transfer:
+        if inputs.style_image is None:
+            return None
+        output = _masked_apply(
+            lambda img: style_fx.style_transfer(
+                img, [inputs.style_image], req.gatys, registry.vgg_params,
+                metrics=metrics,
+            ),
+            original, output, state, req,
+        )
+
+    # ---- 5. style mixing (app.py:472-590) ----
+    if req.style_mixing:
+        styles = [s for s in (inputs.style_image1, inputs.style_image2) if s is not None]
+        if not styles:
+            return None
+        output = _masked_apply(
+            lambda img: style_fx.style_transfer(
+                img, styles, req.gatys, registry.vgg_params, metrics=metrics
+            ),
+            original, output, state, req,
+        )
+
+    # ---- 6. color palette transfer (app.py:592-658) ----
+    if req.color_palette:
+        if inputs.color_palette_image is None:
+            return None
+        output = _masked_apply(
+            lambda img: basic.color_palette_transfer(img, inputs.color_palette_image),
+            original, output, state, req,
+        )
+
+    # ---- 7. depth-based style transfer (app.py:660-735) ----
+    if req.depth is not None:
+        if inputs.style_image is None:
+            return None
+        from tbist_tpu.effects import depth as depth_fx
+
+        dcfg = req.depth
+        output = _masked_apply(
+            lambda img: depth_fx.depth_style_transfer(
+                img, inputs.style_image, dcfg, req.gatys,
+                registry.depth_estimator, registry.vgg_params, metrics=metrics,
+            ),
+            original, output, state, req,
+        )
+
+    return output

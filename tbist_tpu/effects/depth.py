@@ -1,0 +1,123 @@
+"""Depth-based style transfer: MIP layering and depth-loss variants.
+
+Reference: components/style_transfer_depth/style_transfer_depth.py (DepthStyle)
+and Style_a3.py. Differences by design:
+
+* ``mip``: the n depth-bin layers are stylized with decreasing strength
+  (1 - i/n, reference :61-72) — here as one batched run over the layer
+  axis where strengths share a config, else pipelined sequential runs;
+  reconstruction accumulates in float (no uint8 overflow, SURVEY §2.2/7).
+* ``depth_loss``: the reference's depth loss has NO gradient path (PIL
+  round-trip each closure, Style_a3.py:144-146) and re-runs the depth net
+  every closure. Here the depth net stays in-graph (differentiable) when a
+  real depth model is available; with the fallback estimator the depth
+  term uses the same luminance proxy in-graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tbist_tpu.effects import style as style_fx
+from tbist_tpu.ops import mip as mip_ops
+from tbist_tpu.utils.config import DepthConfig, GatysConfig
+from tbist_tpu.utils.logging import RunMetrics, logger
+
+
+def _fallback_depth(image: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic pseudo-depth (smoothed luminance) when no Depth-Anything
+    weights exist. Shape (H, W) float in [0, 1]."""
+    from tbist_tpu.ops.filters import gaussian_blur
+
+    img = image if image.ndim == 4 else image[None]
+    luma = jnp.mean(img, axis=-1, keepdims=True)
+    smooth = gaussian_blur(luma, 31)[0, ..., 0]
+    return mip_ops.normalize_depth(smooth)
+
+
+@functools.lru_cache(maxsize=1)
+def default_depth_estimator() -> Callable:
+    try:
+        from tbist_tpu.models import depth_anything
+
+        return depth_anything.get_depth_estimator()
+    except Exception:
+        logger.warning(
+            "depth estimator: no Depth-Anything weights — using smoothed-"
+            "luminance pseudo-depth fallback"
+        )
+        return _fallback_depth
+
+
+def depth_style_transfer(
+    image: jnp.ndarray,
+    style: jnp.ndarray,
+    dcfg: DepthConfig,
+    gcfg: GatysConfig,
+    depth_estimator: Optional[Callable] = None,
+    vgg_params=None,
+    metrics: Optional[RunMetrics] = None,
+) -> jnp.ndarray:
+    depth_estimator = depth_estimator or default_depth_estimator()
+    if dcfg.mode == "mip":
+        return style_mip(
+            image, style, dcfg.mip_layers, gcfg, depth_estimator, vgg_params, metrics
+        )
+    return style_depth_loss(image, style, dcfg, gcfg, depth_estimator, vgg_params, metrics)
+
+
+def style_mip(
+    image: jnp.ndarray,
+    style: jnp.ndarray,
+    n: int,
+    gcfg: GatysConfig,
+    depth_estimator: Callable,
+    vgg_params=None,
+    metrics: Optional[RunMetrics] = None,
+) -> jnp.ndarray:
+    """Multi-plane-image stylization (style_transfer_depth.py:74-90)."""
+    depth = depth_estimator(image)
+    layers = mip_ops.generate_layers(image, depth, n)  # (n, H, W, C)
+    stylized = []
+    for i in range(n):
+        strength = 1.0 - i / n
+        out = style_fx.style_transfer(
+            layers[i][None], [style], gcfg, vgg_params,
+            strength=strength, metrics=metrics,
+        )
+        stylized.append(out[0])
+    final = mip_ops.reconstruct(jnp.stack(stylized), depth, n)
+    return final[None]
+
+
+def style_depth_loss(
+    image: jnp.ndarray,
+    style: jnp.ndarray,
+    dcfg: DepthConfig,
+    gcfg: GatysConfig,
+    depth_estimator: Callable,
+    vgg_params=None,
+    metrics: Optional[RunMetrics] = None,
+) -> jnp.ndarray:
+    """Depth-aware stylization: Gatys + w_depth * MSE(depth(x), depth(content)).
+
+    The reference enables w_depth=5e4 (Style_a3.py:181). Its implementation
+    is inert in backward; ours keeps the depth function in-graph.
+    """
+    gcfg = dataclasses.replace(gcfg, w_depth=dcfg.w_depth)
+    from tbist_tpu.optimize import gatys_depth
+
+    image_b = style_fx._bucket(image, gcfg)
+    style_b = style_fx._bucket(style, gcfg)
+    out = gatys_depth.stylize_with_depth(
+        image_b, style_b, gcfg, depth_estimator, vgg_params, metrics=metrics
+    )
+    if out.shape != image.shape:
+        out = jax.image.resize(out, image.shape, "bilinear")
+    return out

@@ -1,0 +1,143 @@
+"""VGG-19 feature extractor (functional, NHWC, TPU-first).
+
+Capability parity with the reference ``Vgg19`` wrapper
+(multi_style_transfer/helper_functions.py:44-101), including its exact
+feature semantics: the captured activation for ``convX_Y`` is the conv
+output *before* its ReLU (the reference's slice ends at the conv layer),
+and computation stops after the deepest requested layer.
+
+Design differences (TPU-first, not a port):
+
+* NHWC layout, HWIO kernels — natural for the TPU conv units.
+* Plain param pytree ``{layer: {"kernel", "bias"}}`` + pure ``extract_features``
+  function: trivially jit/vmap/pjit-able and shardable with NamedSharding.
+* Optional bfloat16 conv compute with fp32 accumulation
+  (``preferred_element_type``) — MXU-friendly.
+
+Weights come from ``tbist_tpu.weights.vgg`` (torchvision ``.pth`` converter
+with a deterministic seeded He-init fallback when no checkpoint exists in
+the environment).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# (layer_name, in_channels, out_channels); "pool" entries are 2x2/2 maxpools.
+# Mirrors torchvision vgg19().features ordering.
+VGG19_LAYERS: Tuple = (
+    ("conv1_1", 3, 64),
+    ("conv1_2", 64, 64),
+    ("pool1",),
+    ("conv2_1", 64, 128),
+    ("conv2_2", 128, 128),
+    ("pool2",),
+    ("conv3_1", 128, 256),
+    ("conv3_2", 256, 256),
+    ("conv3_3", 256, 256),
+    ("conv3_4", 256, 256),
+    ("pool3",),
+    ("conv4_1", 256, 512),
+    ("conv4_2", 512, 512),
+    ("conv4_3", 512, 512),
+    ("conv4_4", 512, 512),
+    ("pool4",),
+    ("conv5_1", 512, 512),
+    ("conv5_2", 512, 512),
+    ("conv5_3", 512, 512),
+    ("conv5_4", 512, 512),
+)
+
+CONV_NAMES: Tuple[str, ...] = tuple(
+    spec[0] for spec in VGG19_LAYERS if spec[0].startswith("conv")
+)
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+
+def _init_params_impl(key: jax.Array, dtype=jnp.float32) -> Params:
+    """Deterministic He-initialized parameters (used when no checkpoint)."""
+    params: Params = {}
+    for spec in VGG19_LAYERS:
+        if len(spec) == 1:
+            continue
+        name, cin, cout = spec
+        key, k1 = jax.random.split(key)
+        fan_in = 3 * 3 * cin
+        w = jax.random.normal(k1, (3, 3, cin, cout), dtype) * jnp.sqrt(2.0 / fan_in)
+        params[name] = {"kernel": w, "bias": jnp.zeros((cout,), dtype)}
+    return params
+
+
+def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def _conv(x: jnp.ndarray, p: Dict[str, jnp.ndarray], compute_dtype) -> jnp.ndarray:
+    kernel = p["kernel"].astype(compute_dtype)
+    out = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out + p["bias"].astype(jnp.float32)
+
+
+def extract_features(
+    params: Params,
+    x: jnp.ndarray,
+    layers: Sequence[str],
+    compute_dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Run VGG-19 up to the deepest requested conv layer.
+
+    ``x`` is a *normalized* NHWC image batch. Returns
+    ``{layer: pre-ReLU conv activation (B, H', W', C')}`` in fp32.
+    """
+    wanted = set(layers)
+    unknown = wanted - set(CONV_NAMES)
+    if unknown:
+        raise ValueError(f"Unknown VGG-19 layers: {sorted(unknown)}")
+    deepest = max(CONV_NAMES.index(l) for l in layers)
+
+    feats: Dict[str, jnp.ndarray] = {}
+    conv_idx = -1
+    for spec in VGG19_LAYERS:
+        if len(spec) == 1:  # pool
+            x = _max_pool_2x2(x)
+            continue
+        name = spec[0]
+        conv_idx += 1
+        pre = _conv(x, params[name], compute_dtype)
+        if name in wanted:
+            feats[name] = pre
+        x = jax.nn.relu(pre)
+        if conv_idx == deepest:
+            break
+    return feats
+
+
+def init_params(*args, **kwargs):
+    """Seeded init; always float32 (x64 test mode would otherwise produce
+    float64 from jnp.zeros/jax.random defaults)."""
+    import jax
+
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype.kind == "f"
+        else a,
+        _init_params_impl(*args, **kwargs),
+    )

@@ -1,0 +1,146 @@
+"""Mask compositing: binary-mask merge and the emoji texture-mask merge.
+
+Reference semantics:
+
+* ``composite_by_mask`` — text/segmentation_style_transfer.py:5-94
+  (hard select, or Gaussian-feathered alpha blend).
+* ``merge_content_style_masks`` / ``emoji_composite`` —
+  text/emoji_segmentation_style_transfer.py:6-179.
+
+The reference's emoji merge runs 6 scales × 4 corner anchors of pure-Python
+sliding-window loops — its dominant CPU cost (SURVEY §3.2). Here each
+anchor pass is one batched gather → per-window normalize → one scatter-add,
+entirely on device under jit:
+
+* every window is a full-size ``kh×kw`` slice of a zero-padded mask (the
+  reference's boundary cropping is equivalent to zero padding, since the
+  per-window normalizer ``max(region*emoji)`` ignores zero products);
+* the 4 anchors differ only in which side the padding goes.
+
+The reference's RT/RB anchors use ``kernel_H`` where ``kernel_W`` is meant
+(emoji_segmentation_style_transfer.py:130,163) — emoji stencils are square
+so the expressions coincide; we implement the square-stencil semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tbist_tpu.ops.filters import blur_mask
+from tbist_tpu.ops.resize import center_crop_to_match, resize_bilinear
+
+EMOJI_SCALES = (0.5, 1.0, 1.5, 2.0, 2.5, 3.0)
+
+
+def composite_by_mask(
+    content: jnp.ndarray,
+    style: jnp.ndarray,
+    mask: jnp.ndarray,
+    edge_smoothing: int = 5,
+) -> jnp.ndarray:
+    """Merge NHWC content/style by a (H, W) mask; True selects style.
+
+    ``edge_smoothing`` > 0 Gaussian-feathers the mask edge (odd-forced
+    kernel). Shape mismatches are reconciled by center-cropping the larger
+    image, exactly like the reference.
+    """
+    content, style, mask = center_crop_to_match(content, style, mask)
+    if edge_smoothing:
+        m = blur_mask(mask, int(edge_smoothing))
+        m = m[None, ..., None]
+        return content * (1.0 - m) + style * m
+    sel = mask.astype(bool)[None, ..., None]
+    return jnp.where(sel, style, content)
+
+
+def _anchor_positions(extent: int, step: int, reverse: bool) -> np.ndarray:
+    """Window start offsets in the padded array for one axis."""
+    step = max(step, 1)
+    if reverse:
+        # reference: range(extent, 1, -step); in padded coords the start
+        # equals the original end index (left/top padding of one kernel).
+        return np.arange(extent, 1, -step, dtype=np.int32)
+    return np.arange(0, extent, step, dtype=np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("blur_strength", "step_size_multiplier"))
+def merge_content_style_masks(
+    seg_mask: jnp.ndarray,
+    emoji_mask: jnp.ndarray,
+    blur_strength: int = 95,
+    step_size_multiplier: float = 0.5,
+) -> jnp.ndarray:
+    """Emoji-augmented soft mask in [0, 1], shape (H, W).
+
+    ``seg_mask``: (H, W) bool/float segmentation mask.
+    ``emoji_mask``: (He, We) bool/float emoji stencil (reference: 172×172).
+    """
+    h, w = seg_mask.shape
+    blurred = blur_mask(seg_mask.astype(jnp.float32), int(blur_strength))
+    emoji = emoji_mask.astype(jnp.float32)
+    he, we = emoji.shape
+
+    merged = jnp.zeros((h, w), jnp.float32)
+    for scale in EMOJI_SCALES:
+        kh, kw = int(he * scale), int(we * scale)
+        if kh < 1 or kw < 1:
+            continue
+        em = resize_bilinear(emoji[..., None], (kh, kw))[:, :, 0]
+        em = em / jnp.maximum(jnp.max(em), 1e-20)
+        sh = max(math.floor(kh * step_size_multiplier), 1)
+        sw = max(math.floor(kw * step_size_multiplier), 1)
+
+        for rev_r, rev_c in ((False, False), (False, True), (True, False), (True, True)):
+            rows = _anchor_positions(h, sh, rev_r)
+            cols = _anchor_positions(w, sw, rev_c)
+            if rows.size == 0 or cols.size == 0:
+                continue
+            pad_r = (kh, 0) if rev_r else (0, kh)
+            pad_c = (kw, 0) if rev_c else (0, kw)
+            padded = jnp.pad(blurred, (pad_r, pad_c))
+
+            starts_r, starts_c = np.meshgrid(rows, cols, indexing="ij")
+            starts = jnp.asarray(
+                np.stack([starts_r.ravel(), starts_c.ravel()], axis=1)
+            )
+
+            def window_fn(start, padded=padded, em=em, kh=kh, kw=kw):
+                win = jax.lax.dynamic_slice(padded, (start[0], start[1]), (kh, kw))
+                prod = win * em
+                return prod / (jnp.max(prod) + 1e-7)
+
+            tiles = jax.vmap(window_fn)(starts)  # (n, kh, kw)
+
+            r_idx = starts[:, 0][:, None, None] + jnp.arange(kh)[None, :, None]
+            c_idx = starts[:, 1][:, None, None] + jnp.arange(kw)[None, None, :]
+            acc = jnp.zeros(
+                (h + pad_r[0] + pad_r[1], w + pad_c[0] + pad_c[1]), jnp.float32
+            )
+            acc = acc.at[r_idx, c_idx].add(tiles)
+            merged = merged + jax.lax.dynamic_slice(acc, (pad_r[0], pad_c[0]), (h, w))
+
+    return merged / jnp.maximum(jnp.max(merged), 1e-20)
+
+
+def emoji_composite(
+    content: jnp.ndarray,
+    style: jnp.ndarray,
+    seg_mask: jnp.ndarray,
+    emoji_mask: jnp.ndarray,
+    blur_strength: int = 95,
+    step_size_multiplier: float = 0.5,
+    style_strength: float = 2.0,
+) -> jnp.ndarray:
+    """Texture-masked composite (emoji_segmentation_style_transfer.py:6-63)."""
+    content, style, seg_mask = center_crop_to_match(content, style, seg_mask)
+    merged = merge_content_style_masks(
+        seg_mask, emoji_mask, int(blur_strength), float(step_size_multiplier)
+    )
+    merged = jnp.clip(merged * style_strength, 0.0, 1.0)[None, ..., None]
+    return content * (1.0 - merged) + style * merged

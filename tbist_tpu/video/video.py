@@ -1,0 +1,177 @@
+"""Video pipeline: decode → batched device effects → interpolate → encode.
+
+Reference: app.py:742-864 — a strictly sequential per-frame Python loop
+that writes every frame to a temp JPG, re-reads it, runs the image
+pipeline, then optionally inserts cross-dissolve frames and adjusts fps.
+
+TPU-native design: frames stay in memory (no JPG round-trip), move to
+device once, and batch over the ``dp`` mesh axis. Pure style-transfer
+requests take the fast path (parallel.batched: one jitted train step for
+the whole frame batch); arbitrary effect chains fall back to the per-frame
+pipeline (still device-resident per frame). Cross-dissolve interpolation
+is one vectorized lerp on device.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tbist_tpu.compose import pipeline as pipe
+from tbist_tpu.utils.config import EffectRequest
+from tbist_tpu.utils.imageio import bucket_shape, to_uint8
+from tbist_tpu.utils.logging import RunMetrics, logger
+
+
+def read_frames(video_path: str, max_frames: Optional[int] = None):
+    """Decode to (frames list of HxWx3 uint8 RGB, fps)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+    frames = []
+    while cap.isOpened():
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        if max_frames and len(frames) >= max_frames:
+            break
+    cap.release()
+    return frames, fps
+
+
+def write_video(frames: List[np.ndarray], fps: float, out_path: str) -> str:
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    for codec in ("avc1", "mp4v"):
+        fourcc = cv2.VideoWriter_fourcc(*codec)
+        out = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
+        if out.isOpened():
+            break
+    for f in frames:
+        out.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    out.release()
+    return out_path
+
+
+def cross_dissolve(frames: List[np.ndarray], k: int) -> List[np.ndarray]:
+    """Insert k interpolated frames between every consecutive pair
+    (alpha = (i+1)/(k+1), reference app.py:820-838), vectorized on device."""
+    if k <= 0 or len(frames) < 2:
+        return frames
+    alphas = jnp.asarray([(i + 1) / (k + 1) for i in range(k)], jnp.float32)
+    prev = jnp.asarray(np.stack(frames[:-1]), jnp.float32)  # (N-1, H, W, C)
+    nxt = jnp.asarray(np.stack(frames[1:]), jnp.float32)
+    # (N-1, k, H, W, C) lerp in one fused op
+    interp = (
+        prev[:, None] * (1.0 - alphas[None, :, None, None, None])
+        + nxt[:, None] * alphas[None, :, None, None, None]
+    )
+    interp_np = np.clip(np.asarray(interp), 0, 255).astype(np.uint8)
+    out = [frames[0]]
+    for i in range(len(frames) - 1):
+        out.extend(interp_np[i])
+        out.append(frames[i + 1])
+    return out
+
+
+def _is_pure_style_request(req: EffectRequest) -> bool:
+    return (
+        req.style_transfer
+        and not req.grayscale
+        and req.text is None
+        and req.pixel_art is None
+        and not req.style_mixing
+        and not req.color_palette
+        and req.depth is None
+    )
+
+
+def apply_video(
+    video_path: str,
+    req: EffectRequest,
+    inputs: Optional[pipe.EffectInputs] = None,
+    registry: Optional[pipe.ModelRegistry] = None,
+    out_path: Optional[str] = None,
+    max_frames: Optional[int] = None,
+    metrics: Optional[RunMetrics] = None,
+) -> Optional[str]:
+    """Process a video through the effect chain. Returns the mp4 path."""
+    if not video_path:
+        return None
+    frames, fps = read_frames(video_path, max_frames)
+    if not frames:
+        return None
+    inputs = inputs or pipe.EffectInputs()
+    vcfg = req.video
+
+    if _is_pure_style_request(req) and inputs.style_image is not None:
+        processed = _batched_style(frames, req, inputs, registry)
+    else:
+        processed = []
+        for i, frame in enumerate(frames):
+            x = jnp.asarray(frame.astype(np.float32) / 255.0)[None]
+            out = pipe.apply_image(x, req, inputs, registry, metrics)
+            if out is None:
+                return None
+            processed.append(to_uint8(out))
+            logger.info("video: frame %d/%d done", i + 1, len(frames))
+
+    final = cross_dissolve(processed, vcfg.interpolation_frames)
+
+    new_fps = fps * (vcfg.interpolation_frames + 1) if vcfg.interpolation_frames else fps
+    if vcfg.slowmo:
+        new_fps = math.floor(new_fps * vcfg.slowmo)
+    if out_path is None:
+        out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
+    return write_video(final, new_fps, out_path)
+
+
+def _batched_style(
+    frames: List[np.ndarray],
+    req: EffectRequest,
+    inputs: pipe.EffectInputs,
+    registry: Optional[pipe.ModelRegistry],
+) -> List[np.ndarray]:
+    """dp-batched Gatys stylization of video frames (parallel.batched)."""
+    from tbist_tpu.parallel import batched
+    from tbist_tpu.weights import vgg as vgg_weights
+
+    registry = (registry or pipe.ModelRegistry())
+    vgg_params = registry.vgg_params or vgg_weights.get_params()
+    cfg = req.gatys
+
+    h, w = frames[0].shape[:2]
+    bh, bw = bucket_shape(h, w, cfg.shape_bucket, cfg.max_side)
+    stack = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
+    if (bh, bw) != (h, w):
+        stack = jax.image.resize(stack, (stack.shape[0], bh, bw, 3), "bilinear")
+    style = inputs.style_image
+    sh, sw = bucket_shape(style.shape[1], style.shape[2], cfg.shape_bucket, cfg.max_side)
+    if (sh, sw) != (style.shape[1], style.shape[2]):
+        style = jax.image.resize(style, (1, sh, sw, 3), "bilinear")
+
+    bsz = req.video.frame_batch
+    outs = []
+    for i in range(0, stack.shape[0], bsz):
+        chunk = stack[i : i + bsz]
+        pad = 0
+        if chunk.shape[0] < bsz and i > 0:
+            pad = bsz - chunk.shape[0]  # keep one compiled shape
+            chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+        res = batched.run(cfg, vgg_params, chunk, (style,))
+        if pad:
+            res = res[:-pad]
+        if (bh, bw) != (h, w):
+            res = jax.image.resize(res, (res.shape[0], h, w, 3), "bilinear")
+        outs.extend(to_uint8(r) for r in np.asarray(res))
+        logger.info("video: stylized frames %d-%d", i, i + res.shape[0])
+    return outs

@@ -1,0 +1,210 @@
+"""Effect-level tests: pixel art, palettes, canny, MIP, pipeline composition."""
+
+import dataclasses
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tbist_tpu.compose import pipeline as pipe
+from tbist_tpu.effects import basic, pixel_art as pa
+from tbist_tpu.models import vgg19
+from tbist_tpu.ops import canny as canny_ops
+from tbist_tpu.ops import mip as mip_ops
+from tbist_tpu.ops import palette as palette_ops
+from tbist_tpu.utils.config import (
+    EffectRequest,
+    GatysConfig,
+    PixelArtConfig,
+    TextEffectConfig,
+)
+
+RNG = np.random.default_rng(11)
+IMG = jnp.asarray(RNG.random((1, 64, 64, 3)).astype(np.float32))
+
+
+def _stub_registry():
+    return pipe.ModelRegistry(
+        vgg_params=vgg19.init_params(jax.random.key(0)),
+        text_transfer=lambda img, prompt: 1.0 - img,  # visible, cheap
+        mask_extractor=lambda img, prompt: jnp.zeros(img.shape[1:3], bool)
+        .at[16:48, 16:48]
+        .set(True),
+        emoji_extractor=lambda prompt: jnp.asarray(
+            RNG.random((16, 16)) > 0.5
+        ),
+        depth_estimator=lambda img: jnp.linspace(0, 1, img.shape[1])[:, None]
+        * jnp.ones((1, img.shape[2])),
+    )
+
+
+FAST_GATYS = GatysConfig(num_steps=4, shape_bucket=32, max_side=64)
+
+
+class TestPalette:
+    def test_quantize_matches_kdtree(self):
+        from sklearn.neighbors import KDTree
+
+        img = (RNG.random((20, 20, 3)) * 255).astype(np.float32)
+        strip = (RNG.random((256, 3)) * 255).astype(np.float32)
+        got = np.asarray(palette_ops.quantize_to_palette(jnp.asarray(img), jnp.asarray(strip)))
+        tree = KDTree(strip, metric="l2")
+        _, idx = tree.query(img.reshape(-1, 3))
+        want = strip[idx[:, 0]].reshape(img.shape)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_kmeans_reduces_colors(self):
+        pixels = jnp.asarray(RNG.random((500, 3)).astype(np.float32) * 255)
+        centers, labels = palette_ops.kmeans(pixels, 8, jax.random.key(0))
+        assert centers.shape == (8, 3)
+        assert int(labels.max()) < 8
+
+    def test_render_strip_blocks(self):
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [1, 1, 1]], np.uint8)
+        strip = palette_ops.render_palette_strip(pal, (1, 256))
+        assert strip.shape == (1, 256, 3)
+        np.testing.assert_array_equal(strip[0, 0], pal[0])
+        np.testing.assert_array_equal(strip[0, 64], pal[1])
+
+
+class TestPixelArt:
+    def test_pixelation_matches_cv2_nearest(self):
+        cfg = PixelArtConfig(pixel_size=0.3)
+        out = pa.pixel_art(IMG, cfg)
+        img255 = np.asarray(IMG[0]) * 255.0
+        small = cv2.resize(
+            img255, (19, 19), interpolation=cv2.INTER_NEAREST
+        )
+        want = cv2.resize(small, (64, 64), interpolation=cv2.INTER_NEAREST) / 255.0
+        np.testing.assert_allclose(np.asarray(out[0]), want, atol=1e-4)
+
+    def test_palette_and_edges_run(self):
+        cfg = PixelArtConfig(
+            pixel_size=0.5, use_palette=True, palette_number=3,
+            edge_detect=True, edge_threshold=50,
+        )
+        out = pa.pixel_art(IMG, cfg)
+        assert out.shape == IMG.shape
+        vals = np.unique(np.round(np.asarray(out) * 255).astype(np.uint8))
+        assert len(vals) < 200  # quantized
+
+    def test_palette_list_loaded(self):
+        palettes = pa.load_palette_list()
+        assert len(palettes) == 70
+        assert all(5 <= len(p) <= 13 for p in palettes)
+
+
+class TestCanny:
+    def test_agrees_with_cv2_majority(self):
+        # Structured image: cv2.Canny and ours should agree on most pixels.
+        img = np.zeros((64, 64), np.float32)
+        img[16:48, 16:48] = 200.0
+        img += RNG.normal(0, 2.0, img.shape).astype(np.float32)
+        low = 100.0
+        want = cv2.Canny(img.astype(np.uint8), low, low * 2) > 0
+        got = np.asarray(canny_ops.canny(jnp.asarray(img), low, low * 2)) > 0
+        agreement = (got == want).mean()
+        assert agreement > 0.95, agreement
+
+    def test_remap_threshold(self):
+        assert canny_ops.remap_threshold(0) == 300.0
+        assert canny_ops.remap_threshold(100) == 1.0
+        assert 100 < canny_ops.remap_threshold(50) < 200
+
+
+class TestMip:
+    def test_bins_and_reconstruction_no_overflow(self):
+        depth = jnp.asarray(RNG.random((32, 32)).astype(np.float32))
+        img = jnp.asarray(RNG.random((1, 32, 32, 3)).astype(np.float32))
+        layers = mip_ops.generate_layers(img, depth, 3)
+        assert layers.shape == (3, 32, 32, 3)
+        recon = mip_ops.reconstruct(layers, depth, 3)
+        # reconstruction of un-stylized layers == original (boundary pixels
+        # belong to 2 bins; float accumulation + clip keeps them bounded)
+        np.testing.assert_allclose(
+            np.asarray(recon), np.asarray(img[0]), atol=1e-5
+        )
+
+    def test_masks_cover_image(self):
+        depth = jnp.asarray(RNG.random((16, 16)).astype(np.float32))
+        m = np.asarray(mip_ops.bin_masks(depth, 4))
+        assert (m.sum(0) >= 1.0 - 1e-6).all()
+
+
+class TestPipeline:
+    def test_grayscale_only(self):
+        req = EffectRequest(grayscale=True)
+        out = pipe.apply_image(IMG, req, registry=_stub_registry())
+        o = np.asarray(out)
+        np.testing.assert_allclose(o[..., 0], o[..., 1], atol=1e-6)
+
+    def test_text_transfer_only(self):
+        req = EffectRequest(text=TextEffectConfig(style_prompt="fire"))
+        out = pipe.apply_image(IMG, req, registry=_stub_registry())
+        np.testing.assert_allclose(np.asarray(out), 1.0 - np.asarray(IMG), atol=1e-6)
+
+    def test_location_mask_only_returns_mask(self):
+        req = EffectRequest(text=TextEffectConfig(location_prompt="boat"))
+        out = pipe.apply_image(IMG, req, registry=_stub_registry())
+        o = np.asarray(out)
+        assert set(np.unique(o)) <= {0.0, 1.0}
+
+    def test_masked_transfer_composites(self):
+        req = EffectRequest(
+            text=TextEffectConfig(style_prompt="fire", location_prompt="boat")
+        )
+        out = np.asarray(pipe.apply_image(IMG, req, registry=_stub_registry()))
+        orig = np.asarray(IMG)
+        # corners keep content; center is inverted
+        np.testing.assert_allclose(out[0, 0, 0], orig[0, 0, 0], atol=1e-4)
+        np.testing.assert_allclose(out[0, 32, 32], 1 - orig[0, 32, 32], atol=1e-4)
+
+    def test_pixel_art_with_location_mask(self):
+        req = EffectRequest(
+            text=TextEffectConfig(location_prompt="boat"),
+            pixel_art=PixelArtConfig(pixel_size=0.25),
+        )
+        out = pipe.apply_image(IMG, req, registry=_stub_registry())
+        assert out.shape == IMG.shape
+
+    def test_style_transfer_requires_style_image(self):
+        req = EffectRequest(style_transfer=True, gatys=FAST_GATYS)
+        assert pipe.apply_image(IMG, req, registry=_stub_registry()) is None
+
+    def test_style_transfer_runs(self):
+        req = EffectRequest(style_transfer=True, gatys=FAST_GATYS)
+        style = jnp.asarray(RNG.random((1, 64, 64, 3)).astype(np.float32))
+        out = pipe.apply_image(
+            IMG, req, pipe.EffectInputs(style_image=style), _stub_registry()
+        )
+        assert out.shape == IMG.shape
+
+    def test_color_palette_stage(self):
+        req = EffectRequest(color_palette=True)
+        tgt = jnp.asarray(RNG.random((1, 32, 32, 3)).astype(np.float32))
+        out = pipe.apply_image(
+            IMG, req, pipe.EffectInputs(color_palette_image=tgt), _stub_registry()
+        )
+        assert out.shape == IMG.shape
+
+    def test_depth_mip_runs(self):
+        from tbist_tpu.utils.config import DepthConfig
+
+        req = EffectRequest(
+            depth=DepthConfig(mode="mip", mip_layers=2), gatys=FAST_GATYS
+        )
+        style = jnp.asarray(RNG.random((1, 64, 64, 3)).astype(np.float32))
+        out = pipe.apply_image(
+            IMG, req, pipe.EffectInputs(style_image=style), _stub_registry()
+        )
+        assert out.shape == IMG.shape
+
+
+class TestBasicEffects:
+    def test_color_palette_transfer_changes_stats(self):
+        tgt = jnp.asarray(
+            np.clip(RNG.random((1, 32, 32, 3)) * 0.3 + 0.6, 0, 1).astype(np.float32)
+        )
+        out = basic.color_palette_transfer(IMG, tgt)
+        assert abs(float(out.mean()) - float(tgt.mean())) < 0.15

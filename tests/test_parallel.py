@@ -1,0 +1,83 @@
+"""Mesh/sharding tests on the 8-device virtual CPU platform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tbist_tpu.models import vgg19
+from tbist_tpu.parallel import batched, mesh as mesh_lib
+from tbist_tpu.utils.config import GatysConfig
+
+
+class TestMesh:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_factorization(self):
+        m = mesh_lib.make_mesh(8)
+        assert m.shape[mesh_lib.DP_AXIS] * m.shape[mesh_lib.SP_AXIS] == 8
+
+    def test_explicit_axes(self):
+        m = mesh_lib.make_mesh(8, dp=8, sp=1)
+        assert m.shape[mesh_lib.DP_AXIS] == 8
+
+
+class TestBatchedStylize:
+    def test_sharded_train_step(self):
+        mesh = mesh_lib.make_mesh(8)
+        cfg = GatysConfig(num_steps=2, optimizer="lbfgs")
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        frames = jax.random.uniform(jax.random.key(1), (4, 32, 32, 3), jnp.float32)
+        style = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+
+        frames = jax.device_put(frames, mesh_lib.batch_sharding(mesh))
+        vgg_params = jax.device_put(vgg_params, mesh_lib.replicated(mesh))
+        state, cf, tg, sg = batched.init_batch(cfg, vgg_params, frames, (style,))
+        state, losses = batched.train_step(cfg, vgg_params, state, cf, tg, sg)
+        state, losses2 = batched.train_step(cfg, vgg_params, state, cf, tg, sg)
+        assert losses.shape == (4,)
+        assert np.isfinite(np.asarray(losses2)).all()
+
+    def test_batched_matches_single(self):
+        """dp-batched LBFGS must equal per-image runs (same targets)."""
+        cfg = GatysConfig(num_steps=3, w_edge=0.0, optimizer="lbfgs")
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        frames = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), jnp.float32)
+        style = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+
+        state, cf, tg, sg = batched.init_batch(cfg, vgg_params, frames, (style,))
+        for _ in range(3):
+            state, _ = batched.train_step(cfg, vgg_params, state, cf, tg, sg)
+        batch_out = np.asarray(jnp.clip(state.images, 0, 1))
+
+        for i in range(2):
+            single = frames[i : i + 1]
+            s_state, s_cf, s_tg, s_sg = batched.init_batch(
+                cfg, vgg_params, single, (style,)
+            )
+            for _ in range(3):
+                s_state, _ = batched.train_step(
+                    cfg, vgg_params, s_state, s_cf, s_tg, s_sg
+                )
+            np.testing.assert_allclose(
+                batch_out[i],
+                np.asarray(jnp.clip(s_state.images, 0, 1))[0],
+                atol=2e-4,
+            )
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (1, 256, 256, 3)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
