@@ -24,11 +24,9 @@ from tbist_tpu.models import clip_mlp, ghiasi
 
 @functools.lru_cache(maxsize=1)
 def default_params(seed: int = 0):
-    key = jax.random.key(seed)
-    return (
-        ghiasi.init_params(jax.random.fold_in(key, 1)),
-        clip_mlp.init_params(jax.random.fold_in(key, 2)),
-    )
+    from tbist_tpu.weights import ghiasi_convert
+
+    return ghiasi_convert.get_params()
 
 
 def fallback_text_embedding(text: str) -> jnp.ndarray:

@@ -1,0 +1,190 @@
+"""Text → binary mask: GroundingDINO detection + SAM segmentation.
+
+Capability parity with text/TextMaskExtractor.py:25-68:
+* detect boxes for the prompt (appended '.'), filter by
+  box_threshold=0.3 on sigmoid logits then text_threshold=0.5 on
+  token-level matches;
+* cxcywh[0-1] → xyxy pixels;
+* zero detections → all-False (H, W) mask;
+* SAM masks for all boxes, summed and thresholded to one bool mask.
+
+Requires converted checkpoints (weights_cache/groundingdino_swint_ogc.pth,
+sam_vit_b_01ec64.pth) and a BERT vocab (weights_cache/bert_vocab.txt or a
+HF tokenizer dir via TBIST_BERT_TOKENIZER); effects.masking falls back to
+a deterministic extractor when any are missing.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tbist_tpu.models import dino as dino_lib
+from tbist_tpu.models import sam as sam_lib
+from tbist_tpu.utils.logging import logger
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "weights_cache"
+)
+
+# GroundingDINO preprocess (groundingdino_text_object_detector.py:43-49):
+# RandomResize([800], max_size=1333) + ImageNet normalize. We bucket the
+# resized shape to multiples of 32 to bound XLA compiles.
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+BOX_THRESHOLD = 0.3
+TEXT_THRESHOLD = 0.5
+
+
+def _detection_size(h: int, w: int, size=800, max_size=1333) -> Tuple[int, int]:
+    short, long = min(h, w), max(h, w)
+    scale = size / short
+    if long * scale > max_size:
+        scale = max_size / long
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    # bucket to multiples of 32 (XLA compile cache)
+    return max(32, round(nh / 32) * 32), max(32, round(nw / 32) * 32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _dino_jit(params, cfg, image, input_ids, text_mask):
+    return dino_lib.forward(params, cfg, image, input_ids, text_mask)
+
+
+def _simple_bert_tokenize(prompt: str, vocab: dict) -> List[int]:
+    """Greedy WordPiece over a loaded vocab (enough for short prompts)."""
+    ids = [vocab["[CLS]"]]
+    for word in prompt.lower().split():
+        start = 0
+        while start < len(word):
+            end = len(word)
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                ids.append(vocab.get("[UNK]", 100))
+                break
+            ids.append(vocab[piece])
+            start = end
+    ids.append(vocab["[SEP]"])
+    return ids
+
+
+@functools.lru_cache(maxsize=1)
+def _load_vocab():
+    path = os.environ.get(
+        "TBIST_BERT_VOCAB", os.path.join(_CACHE_DIR, "bert_vocab.txt")
+    )
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no BERT vocab at {path}")
+    with open(path) as f:
+        return {tok.rstrip("\n"): i for i, tok in enumerate(f)}
+
+
+def detect(
+    dino_params, image: np.ndarray, prompt: str
+) -> Tuple[np.ndarray, List[str]]:
+    """(H, W, 3) uint8 RGB + prompt -> (boxes cxcywh in [0,1], phrases)."""
+    vocab = _load_vocab()
+    if not prompt.endswith("."):
+        prompt = prompt + "."
+    ids = _simple_bert_tokenize(prompt, vocab)
+    input_ids = jnp.asarray([ids], jnp.int32)
+    text_mask = jnp.ones_like(input_ids)
+
+    h, w = image.shape[:2]
+    nh, nw = _detection_size(h, w)
+    x = jnp.asarray(image, jnp.float32)[None] / 255.0
+    x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    out = _dino_jit(dino_params, dino_lib.BASE, x, input_ids, text_mask)
+    logits = jax.nn.sigmoid(np.asarray(out["pred_logits"])[0])  # (900, T)
+    boxes = np.asarray(out["pred_boxes"])[0]  # (900, 4)
+
+    keep = logits.max(axis=1) > BOX_THRESHOLD
+    logits, boxes = logits[keep], boxes[keep]
+    phrases, keep2 = [], []
+    inv_vocab = None
+    for row in logits:
+        token_keep = row > TEXT_THRESHOLD
+        # skip CLS/SEP positions
+        token_keep[0] = token_keep[-1] = False
+        if token_keep.any():
+            if inv_vocab is None:
+                inv_vocab = {v: k for k, v in vocab.items()}
+            words = [inv_vocab.get(ids[i], "?") for i in np.where(token_keep)[0]]
+            phrases.append(" ".join(words) + f"({row.max():.2f})")
+            keep2.append(True)
+        else:
+            keep2.append(False)
+    return boxes[np.asarray(keep2, bool)] if len(keep2) else boxes[:0], phrases
+
+
+def extract_mask(dino_params, sam_params, image: np.ndarray, prompt: str) -> jnp.ndarray:
+    """Full TextMaskExtractor pipeline -> (H, W) bool mask."""
+    h, w = image.shape[:2]
+    boxes, _ = detect(dino_params, image, prompt)
+    if boxes.shape[0] == 0:
+        return jnp.zeros((h, w), bool)
+    # cxcywh [0,1] -> xyxy pixels (TextMaskExtractor.py:55-59)
+    scale = np.array([w, h, w, h], np.float32)
+    b = boxes * scale
+    xyxy = np.stack(
+        [b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+         b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], axis=1,
+    )
+    masks = sam_lib.predict_boxes(sam_params, sam_lib.BASE, image, xyxy)
+    return jnp.asarray(masks.sum(0) > 0)
+
+
+@functools.lru_cache(maxsize=1)
+def get_mask_extractor() -> Callable:
+    dino_path = os.environ.get(
+        "TBIST_DINO_PTH", os.path.join(_CACHE_DIR, "groundingdino_swint_ogc.pth")
+    )
+    if not os.path.exists(dino_path):
+        raise FileNotFoundError(f"no GroundingDINO checkpoint at {dino_path}")
+    _load_vocab()  # raise early if vocab missing
+    import torch
+
+    from tbist_tpu.weights import dino_convert
+
+    ckpt = torch.load(dino_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    dino_params = dino_convert.convert({k: v.numpy() for k, v in sd.items()})
+    logger.info("GroundingDINO: converted checkpoint from %s", dino_path)
+    sam_predict = sam_lib.get_predictor()  # raises if SAM missing
+
+    def extractor(image, prompt: str) -> jnp.ndarray:
+        arr = np.asarray(image)
+        if arr.ndim == 4:
+            arr = arr[0]
+        if arr.dtype.kind == "f":
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        # reuse the already-loaded SAM params through the cached predictor
+        h, w = arr.shape[:2]
+        boxes, _ = detect(dino_params, arr, prompt)
+        if boxes.shape[0] == 0:
+            return jnp.zeros((h, w), bool)
+        scale = np.array([w, h, w, h], np.float32)
+        b = boxes * scale
+        xyxy = np.stack(
+            [b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+             b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], axis=1,
+        )
+        masks = sam_predict(arr, xyxy)
+        return jnp.asarray(masks.sum(0) > 0)
+
+    return extractor

@@ -99,9 +99,8 @@ def _conv(x, p, stride: int, compute_dtype):
         (stride, stride),
         "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return out + p["bias"].astype(jnp.float32)
+    return out.astype(jnp.float32) + p["bias"].astype(jnp.float32)
 
 
 def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:

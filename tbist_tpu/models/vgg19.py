@@ -84,6 +84,10 @@ def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv(x: jnp.ndarray, p: Dict[str, jnp.ndarray], compute_dtype) -> jnp.ndarray:
+    # bf16 mode keeps operand/result dtypes uniform so the conv transpose
+    # rule (backward pass) sees matching dtypes; the MXU still accumulates
+    # in fp32 internally. Activations are cast back to fp32 for the
+    # normalization-sensitive loss math.
     kernel = p["kernel"].astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -91,9 +95,8 @@ def _conv(x: jnp.ndarray, p: Dict[str, jnp.ndarray], compute_dtype) -> jnp.ndarr
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return out + p["bias"].astype(jnp.float32)
+    return out.astype(jnp.float32) + p["bias"].astype(jnp.float32)
 
 
 def extract_features(

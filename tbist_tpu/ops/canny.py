@@ -35,7 +35,7 @@ def _conv2d_same(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
 
 def _dilate3(mask: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.reduce_window(
-        mask, 0.0, jax.lax.max, (3, 3), (1, 1), "SAME"
+        mask, jnp.zeros((), mask.dtype), jax.lax.max, (3, 3), (1, 1), "SAME"
     )
 
 

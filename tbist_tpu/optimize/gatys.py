@@ -83,6 +83,7 @@ def _stylize_jit(
     content: jnp.ndarray,
     styles: Tuple[jnp.ndarray, ...],
     key: jax.Array,
+    init: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """content: (1, H, W, 3) in [0,1]; styles: tuple of (1, Hs, Ws, 3)."""
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -134,7 +135,9 @@ def _stylize_jit(
     )
     value_and_grad = jax.value_and_grad(loss_fn)
 
-    if cfg.random_init:
+    if init is not None:
+        img0 = init.astype(jnp.float32)  # resume path (optimize.checkpoint)
+    elif cfg.random_init:
         img0 = jax.random.normal(key, content.shape, jnp.float32)
     else:
         img0 = content.astype(jnp.float32)
@@ -186,15 +189,19 @@ def stylize(
     cfg: GatysConfig,
     vgg_params,
     key: Optional[jax.Array] = None,
+    init: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run Gatys optimization. Returns (image (1,H,W,3) in [0,1], loss history).
 
     ``styles`` holds one or two NHWC style images; two trigger style mixing
     with ``cfg.style_img_weight`` (reference run_style_transfer.py:61-65).
+    ``init`` overrides the starting pixels (checkpoint resume) while the
+    content/style targets stay those of ``content``/``styles``.
     """
     if key is None:
         key = jax.random.key(cfg.seed)
     styles = tuple(s.astype(jnp.float32) for s in styles)
     return _stylize_jit(
-        cfg, len(styles), vgg_params, content.astype(jnp.float32), styles, key
+        cfg, len(styles), vgg_params, content.astype(jnp.float32), styles, key,
+        init,
     )

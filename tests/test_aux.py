@@ -1,0 +1,165 @@
+"""Aux subsystems: checkpoint/resume, Pallas gram parity, weight converters."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tbist_tpu.models import vgg19
+from tbist_tpu.optimize import checkpoint as ckpt
+from tbist_tpu.optimize import gatys
+from tbist_tpu.utils.config import GatysConfig
+
+PARAMS = vgg19.init_params(jax.random.key(0))
+CONTENT = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3), jnp.float32)
+STYLE = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+
+
+class TestCheckpointResume:
+    def test_segments_resume_and_complete(self):
+        cfg = GatysConfig(num_steps=6, w_style=1e3)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "run")
+            out1, hist1 = ckpt.stylize_resumable(
+                CONTENT, [STYLE], cfg, PARAMS, path, segment_steps=3
+            )
+            assert len(hist1) == 6
+            assert ckpt.latest_step(path) == 6
+            # re-invoking a finished run restores and does no extra work
+            out2, hist2 = ckpt.stylize_resumable(
+                CONTENT, [STYLE], cfg, PARAMS, path, segment_steps=3
+            )
+            assert hist2 == []
+            np.testing.assert_allclose(
+                np.asarray(out1), np.asarray(out2), atol=1e-6
+            )
+
+    def test_partial_then_resume(self):
+        cfg_full = GatysConfig(num_steps=4, w_style=1e3)
+        cfg_half = GatysConfig(num_steps=2, w_style=1e3)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "run")
+            ckpt.stylize_resumable(CONTENT, [STYLE], cfg_half, PARAMS, path, 2)
+            assert ckpt.latest_step(path) == 2
+            out, hist = ckpt.stylize_resumable(
+                CONTENT, [STYLE], cfg_full, PARAMS, path, 2
+            )
+            assert len(hist) == 2  # only the remaining segment ran
+            assert ckpt.latest_step(path) == 4
+
+
+class TestPallasGramParity:
+    def test_matches_xla_in_interpret_mode(self):
+        """The Pallas kernel math must equal the einsum (CPU interpret)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tbist_tpu.ops import pallas_gram
+
+        x = jax.random.uniform(jax.random.key(3), (1, 16, 16, 128), jnp.float32)
+        norm = 1.0 / (1 * 128 * 16 * 16)
+        want = np.asarray(
+            jnp.einsum(
+                "bnc,bnd->bcd",
+                x.reshape(1, -1, 128),
+                x.reshape(1, -1, 128),
+                preferred_element_type=jnp.float32,
+            )
+            * norm
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(pallas_gram.gram_matrix(x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+class TestConverters:
+    def test_ghiasi_converter_roundtrip(self):
+        """Torch-layout state dict -> pytree -> forward runs."""
+        import torch
+
+        from tbist_tpu.models import ghiasi
+        from tbist_tpu.weights import ghiasi_convert
+
+        sd = {}
+        specs = [
+            ("layers.0.conv", (32, 3, 9, 9)), ("layers.1.conv", (64, 32, 3, 3)),
+            ("layers.2.conv", (128, 64, 3, 3)),
+        ]
+        for i in range(3, 8):
+            specs += [
+                (f"layers.{i}.conv1", (128, 128, 3, 3)),
+                (f"layers.{i}.conv2", (128, 128, 3, 3)),
+            ]
+            for fc in ("fc_gamma1", "fc_beta1", "fc_gamma2", "fc_beta2"):
+                specs.append((f"layers.{i}.{fc}", (128, 100)))
+        for i, (cin, cout) in zip((8, 9, 10), ((128, 64), (64, 32), (32, 3))):
+            specs.append((f"layers.{i}.conv", (cout, cin, 3 if i < 10 else 9, 3 if i < 10 else 9)))
+            specs.append((f"layers.{i}.fc_gamma", (cout, 100)))
+            specs.append((f"layers.{i}.fc_beta", (cout, 100)))
+        g = torch.Generator().manual_seed(0)
+        for name, shape in specs:
+            sd[f"{name}.weight"] = torch.randn(shape, generator=g)
+            sd[f"{name}.bias"] = torch.randn(shape[0], generator=g)
+        params = ghiasi_convert.convert_ghiasi({k: v.numpy() for k, v in sd.items()})
+        out = ghiasi.apply(
+            params,
+            jnp.zeros((1, 32, 32, 3)),
+            jnp.zeros((1, 100)),
+        )
+        assert out.shape == (1, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_clip_mlp_converter_matches_torch(self):
+        import torch
+        import torch.nn as nn
+
+        from tbist_tpu.models import clip_mlp
+        from tbist_tpu.weights import ghiasi_convert
+
+        torch.manual_seed(0)
+        model = nn.Sequential(
+            nn.Linear(512, 256), nn.LeakyReLU(0.2), nn.Linear(256, 256),
+            nn.LeakyReLU(0.2), nn.Linear(256, 150), nn.LeakyReLU(0.2),
+            nn.Linear(150, 150), nn.LeakyReLU(0.2), nn.Linear(150, 100),
+            nn.Tanh(),
+        )
+        sd = {f"model.{k}": v for k, v in model.state_dict().items()}
+        params = ghiasi_convert.convert_clip_mlp(
+            {k: v.numpy() for k, v in sd.items()}
+        )
+        x = torch.randn(2, 512)
+        want = model(x).detach().numpy()
+        got = np.asarray(clip_mlp.apply(params, jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_vgg_converter_matches_torch(self):
+        import torch
+        import torch.nn as nn
+
+        from tbist_tpu.weights import vgg as vgg_weights
+
+        torch.manual_seed(1)
+        conv = nn.Conv2d(3, 64, 3, padding=1)
+        sd = {"features.0.weight": conv.weight, "features.0.bias": conv.bias}
+        # fill remaining convs with small randoms
+        idx_ch = [(2, 64, 64), (5, 64, 128), (7, 128, 128), (10, 128, 256),
+                  (12, 256, 256), (14, 256, 256), (16, 256, 256), (19, 256, 512),
+                  (21, 512, 512), (23, 512, 512), (25, 512, 512), (28, 512, 512),
+                  (30, 512, 512), (32, 512, 512), (34, 512, 512)]
+        for i, cin, cout in idx_ch:
+            sd[f"features.{i}.weight"] = torch.randn(cout, cin, 3, 3) * 0.01
+            sd[f"features.{i}.bias"] = torch.zeros(cout)
+        params = vgg_weights.convert_torch_state_dict(
+            {k: v.detach().numpy() for k, v in sd.items()}
+        )
+        x = torch.randn(1, 3, 8, 8)
+        want = conv(x).detach().numpy()  # conv1_1 pre-ReLU
+        feats = vgg19.extract_features(
+            jax.tree.map(jnp.asarray, params),
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+            ("conv1_1",),
+        )
+        got = np.asarray(feats["conv1_1"]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

@@ -96,16 +96,21 @@ class TestPixelArt:
 
 
 class TestCanny:
-    def test_agrees_with_cv2_majority(self):
-        # Structured image: cv2.Canny and ours should agree on most pixels.
+    def test_agrees_with_cv2(self):
         img = np.zeros((64, 64), np.float32)
         img[16:48, 16:48] = 200.0
         img += RNG.normal(0, 2.0, img.shape).astype(np.float32)
-        low = 100.0
-        want = cv2.Canny(img.astype(np.uint8), low, low * 2) > 0
-        got = np.asarray(canny_ops.canny(jnp.asarray(img), low, low * 2)) > 0
-        agreement = (got == want).mean()
-        assert agreement > 0.95, agreement
+        u8 = np.clip(img, 0, 255).astype(np.uint8)
+        for low in (50.0, 100.0):
+            want = cv2.Canny(u8, low, low * 2) > 0
+            got = (
+                np.asarray(
+                    canny_ops.canny(jnp.asarray(u8.astype(np.float32)), low, low * 2)
+                )
+                > 0
+            )
+            agreement = (got == want).mean()
+            assert agreement > 0.99, agreement
 
     def test_remap_threshold(self):
         assert canny_ops.remap_threshold(0) == 300.0

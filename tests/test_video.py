@@ -1,0 +1,105 @@
+"""Video pipeline tests: decode/encode round-trip, interpolation, batching."""
+
+import os
+import tempfile
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from tbist_tpu.compose import pipeline as pipe
+from tbist_tpu.models import vgg19
+from tbist_tpu.utils.config import EffectRequest, GatysConfig, VideoConfig
+from tbist_tpu.video import video as vid
+
+import jax
+
+RNG = np.random.default_rng(21)
+
+
+def _write_test_video(path, n_frames=4, size=(48, 32), fps=8.0):
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    out = cv2.VideoWriter(path, fourcc, fps, size)
+    frames = []
+    for i in range(n_frames):
+        f = np.full((size[1], size[0], 3), i * 40 + 20, np.uint8)
+        f[:, : size[0] // 2] += 30
+        frames.append(f)
+        out.write(f)
+    out.release()
+    return frames
+
+
+class TestCrossDissolve:
+    def test_matches_cv2_addweighted(self):
+        a = (RNG.random((16, 16, 3)) * 255).astype(np.uint8)
+        b = (RNG.random((16, 16, 3)) * 255).astype(np.uint8)
+        out = vid.cross_dissolve([a, b], k=3)
+        assert len(out) == 5
+        for i, alpha in enumerate([0.25, 0.5, 0.75]):
+            want = cv2.addWeighted(a, 1 - alpha, b, alpha, 0)
+            np.testing.assert_allclose(
+                out[1 + i].astype(int), want.astype(int), atol=1
+            )
+
+    def test_no_interpolation_passthrough(self):
+        frames = [np.zeros((4, 4, 3), np.uint8)] * 3
+        assert vid.cross_dissolve(frames, 0) is frames
+
+
+class TestVideoPipeline:
+    def test_grayscale_video_roundtrip(self):
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path)
+            req = EffectRequest(grayscale=True)
+            out_path = vid.apply_video(
+                in_path, req, pipe.EffectInputs(),
+                pipe.ModelRegistry(vgg_params=vgg19.init_params(jax.random.key(0))),
+                out_path=os.path.join(d, "out.mp4"),
+            )
+            assert out_path and os.path.exists(out_path)
+            frames, fps = vid.read_frames(out_path)
+            assert len(frames) == 4
+            # grayscale: channels equal (codec noise tolerance)
+            f = frames[0].astype(int)
+            assert np.abs(f[..., 0] - f[..., 1]).mean() < 3
+
+    def test_interpolation_changes_fps_and_count(self):
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path, n_frames=3, fps=8.0)
+            req = EffectRequest(
+                grayscale=True, video=VideoConfig(interpolation_frames=2)
+            )
+            out_path = vid.apply_video(
+                in_path, req, pipe.EffectInputs(),
+                pipe.ModelRegistry(vgg_params=vgg19.init_params(jax.random.key(0))),
+                out_path=os.path.join(d, "out.mp4"),
+            )
+            frames, fps = vid.read_frames(out_path)
+            assert len(frames) == 3 + 2 * 2  # k frames between each pair
+            assert abs(fps - 24.0) < 0.5  # 8 * (2+1)
+
+    def test_batched_style_path(self):
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path, n_frames=3, size=(64, 64))
+            req = EffectRequest(
+                style_transfer=True,
+                gatys=GatysConfig(num_steps=2, shape_bucket=32, max_side=64),
+                video=VideoConfig(frame_batch=2),
+            )
+            style = jnp.asarray(RNG.random((1, 64, 64, 3)).astype(np.float32))
+            out_path = vid.apply_video(
+                in_path, req, pipe.EffectInputs(style_image=style),
+                pipe.ModelRegistry(vgg_params=vgg19.init_params(jax.random.key(0))),
+                out_path=os.path.join(d, "out.mp4"),
+            )
+            assert out_path and os.path.exists(out_path)
+            frames, _ = vid.read_frames(out_path)
+            assert len(frames) == 3
+
+    def test_missing_video_returns_none(self):
+        req = EffectRequest(grayscale=True)
+        assert vid.apply_video(None, req) is None
