@@ -44,27 +44,33 @@ class ModelRegistry:
     # (image NHWC) -> (H, W) float depth
     depth_estimator: Optional[Callable] = None
 
-    def resolve(self) -> "ModelRegistry":
-        from tbist_tpu.weights import vgg as vgg_weights
+    def ensure(self, *names: str) -> "ModelRegistry":
+        """Lazily resolve only the models a request actually needs."""
+        for name in names:
+            if getattr(self, name) is not None:
+                continue
+            if name == "vgg_params":
+                from tbist_tpu.weights import vgg as vgg_weights
 
-        if self.vgg_params is None:
-            self.vgg_params = vgg_weights.get_params()
-        if self.text_transfer is None:
-            from tbist_tpu.effects import text_transfer as tt
+                self.vgg_params = vgg_weights.get_params()
+            elif name == "text_transfer":
+                from tbist_tpu.effects import text_transfer as tt
 
-            self.text_transfer = lambda img, prompt: tt.perform_transfer(img, prompt)
-        if self.mask_extractor is None:
-            from tbist_tpu.effects import masking
+                self.text_transfer = lambda img, prompt: tt.perform_transfer(
+                    img, prompt
+                )
+            elif name == "mask_extractor":
+                from tbist_tpu.effects import masking
 
-            self.mask_extractor = masking.default_mask_extractor()
-        if self.emoji_extractor is None:
-            from tbist_tpu.effects import masking
+                self.mask_extractor = masking.default_mask_extractor()
+            elif name == "emoji_extractor":
+                from tbist_tpu.effects import masking
 
-            self.emoji_extractor = masking.default_emoji_extractor()
-        if self.depth_estimator is None:
-            from tbist_tpu.effects import depth as depth_fx
+                self.emoji_extractor = masking.default_emoji_extractor()
+            elif name == "depth_estimator":
+                from tbist_tpu.effects import depth as depth_fx
 
-            self.depth_estimator = depth_fx.default_depth_estimator()
+                self.depth_estimator = depth_fx.default_depth_estimator()
         return self
 
 
@@ -145,7 +151,20 @@ def apply_image(
     """Run the effect chain on an NHWC [0,1] image. None on invalid input,
     matching the reference's contract (SURVEY §5 failure handling)."""
     inputs = inputs or EffectInputs()
-    registry = (registry or ModelRegistry()).resolve()
+    registry = registry or ModelRegistry()
+    needed = []
+    if req.style_transfer or req.style_mixing or req.depth is not None:
+        needed.append("vgg_params")
+    if req.text is not None:
+        if req.text.style_prompt:
+            needed.append("text_transfer")
+        if req.text.location_prompt:
+            needed.append("mask_extractor")
+        if req.text.texture_prompt:
+            needed.append("emoji_extractor")
+    if req.depth is not None:
+        needed.append("depth_estimator")
+    registry.ensure(*needed)
     metrics = metrics if metrics is not None else RunMetrics()
 
     original = image
