@@ -1,0 +1,131 @@
+"""HTTP serving layer — stdlib-only JSON API over the effect pipeline.
+
+The reference serves through Gradio only (app.py:1250-1252). For
+production-style deployment this module exposes the same capabilities as a
+minimal JSON API with zero extra dependencies:
+
+  GET  /healthz            -> {"status": "ok", "backend": ..., "devices": N}
+  POST /v1/image           -> body {"image": b64, "request": {...},
+                              "style_image": b64?, "style_image1": b64?,
+                              "style_image2": b64?, "color_palette_image": b64?}
+                              reply {"image": b64 PNG, "timings_s": {...}}
+
+Requests are processed sequentially (one TPU program at a time — device
+state is functional so this is a throughput choice, not a safety one).
+Run: ``python -m tbist_tpu.serve --port 8000``.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from tbist_tpu.utils.logging import RunMetrics, logger
+
+
+def _decode_image(b64: Optional[str]):
+    if not b64:
+        return None
+    from PIL import Image
+
+    return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+
+
+def _encode_image(pil) -> str:
+    buf = io.BytesIO()
+    pil.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "tbist_tpu"
+    _lock = threading.Lock()
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # route through our logger
+        logger.info("serve: " + fmt, *args)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            import jax
+
+            self._reply(
+                200,
+                {
+                    "status": "ok",
+                    "backend": jax.default_backend(),
+                    "devices": len(jax.devices()),
+                },
+            )
+        else:
+            self._reply(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        if self.path != "/v1/image":
+            self._reply(404, {"error": "unknown path"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            data = json.loads(self.rfile.read(length) or b"{}")
+            from tbist_tpu import api
+            from tbist_tpu.utils.request_schema import request_from_dict
+
+            req = request_from_dict(data.get("request", {}))
+            metrics = RunMetrics()
+            with self._lock:  # one device program at a time
+                out = api.apply_image(
+                    _decode_image(data.get("image")),
+                    req,
+                    style_image=_decode_image(data.get("style_image")),
+                    style_image1=_decode_image(data.get("style_image1")),
+                    style_image2=_decode_image(data.get("style_image2")),
+                    color_palette_image=_decode_image(
+                        data.get("color_palette_image")
+                    ),
+                    pixel_palette_image=_decode_image(
+                        data.get("pixel_palette_image")
+                    ),
+                    metrics=metrics,
+                )
+            if out is None:
+                self._reply(422, {"error": "missing required inputs for request"})
+                return
+            self._reply(
+                200, {"image": _encode_image(out), "timings_s": metrics.timings_s}
+            )
+        except ValueError as e:
+            self._reply(400, {"error": str(e)})
+        except Exception as e:  # surface as 500 with the message
+            logger.exception("serve: request failed")
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(port: int = 8000, host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), _Handler)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args()
+    server = make_server(args.port, args.host)
+    logger.info("serving on %s:%d", args.host, args.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

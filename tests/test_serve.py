@@ -1,0 +1,104 @@
+"""Serving layer tests: real HTTP round-trips against the JSON API."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tbist_tpu import serve
+from tbist_tpu.utils.request_schema import request_from_dict
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    srv = serve.make_server(port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _b64(img: np.ndarray) -> str:
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestServe:
+    def test_healthz(self, server_url):
+        with urllib.request.urlopen(server_url + "/healthz") as r:
+            data = json.loads(r.read())
+        assert data["status"] == "ok"
+        assert data["devices"] >= 1
+
+    def test_grayscale_roundtrip(self, server_url):
+        rng = np.random.default_rng(0)
+        img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        status, data = _post(
+            server_url + "/v1/image",
+            {"image": _b64(img), "request": {"grayscale": True}},
+        )
+        assert status == 200
+        out = np.asarray(
+            Image.open(io.BytesIO(base64.b64decode(data["image"])))
+        )
+        assert out.shape[:2] == (32, 32)
+        assert np.abs(out[..., 0].astype(int) - out[..., 1].astype(int)).max() <= 1
+
+    def test_missing_inputs_422(self, server_url):
+        img = np.zeros((16, 16, 3), np.uint8)
+        status, data = _post(
+            server_url + "/v1/image",
+            {"image": _b64(img), "request": {"style_transfer": True}},
+        )
+        assert status == 422
+
+    def test_unknown_field_400(self, server_url):
+        img = np.zeros((16, 16, 3), np.uint8)
+        status, data = _post(
+            server_url + "/v1/image",
+            {"image": _b64(img), "request": {"graiscale": True}},
+        )
+        assert status == 400
+        assert "graiscale" in data["error"]
+
+    def test_unknown_path_404(self, server_url):
+        status, _ = _post(server_url + "/v1/nope", {})
+        assert status == 404
+
+
+class TestRequestSchema:
+    def test_nested_configs(self):
+        req = request_from_dict(
+            {
+                "style_transfer": True,
+                "gatys": {"num_steps": 10, "optimizer": "adam"},
+                "text": {"style_prompt": "fire"},
+            }
+        )
+        assert req.gatys.num_steps == 10
+        assert req.text.style_prompt == "fire"
+
+    def test_unknown_nested_field_raises(self):
+        with pytest.raises(ValueError):
+            request_from_dict({"gatys": {"nuum_steps": 5}})
+
+    def test_tuple_coercion(self):
+        req = request_from_dict({"gatys": {"style_layers": ["conv1_1", "conv2_1"]}})
+        assert req.gatys.style_layers == ("conv1_1", "conv2_1")
