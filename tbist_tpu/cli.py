@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pixel-palette", type=int, default=-1, help="palette index 0-69")
     p.add_argument("--pixel-edges", action="store_true")
     p.add_argument("--edge-threshold", type=int, default=50)
+    p.add_argument("--pixel-interpolate", action="store_true",
+                   help="gradient-interpolate the palette strip")
+    p.add_argument("--pixel-from-image", help="extract the palette from this image")
+    p.add_argument("--pixel-colors", type=int, default=10,
+                   help="# colors for palette-from-image k-means")
 
     p.add_argument("--style-transfer", action="store_true")
     p.add_argument("--style", help="style image path")
@@ -73,8 +78,11 @@ def request_from_args(args) -> EffectRequest:
     if args.pixel_art:
         pixel = PixelArtConfig(
             pixel_size=args.pixel_size,
-            use_palette=args.pixel_palette >= 0,
+            use_palette=args.pixel_palette >= 0 or bool(args.pixel_from_image),
             palette_number=max(args.pixel_palette, 0),
+            palette_from_image=bool(args.pixel_from_image),
+            palette_num_colors=args.pixel_colors,
+            interpolate=args.pixel_interpolate,
             edge_detect=args.pixel_edges,
             edge_threshold=args.edge_threshold,
         )
@@ -109,6 +117,7 @@ def main(argv=None) -> int:
             args.video, req,
             style_image=args.style, style_image1=args.style,
             style_image2=args.style2, color_palette_image=args.color_palette,
+            pixel_palette_image=args.pixel_from_image,
             out_path=args.out, max_frames=args.max_frames, metrics=metrics,
         )
         if path is None:
@@ -120,6 +129,7 @@ def main(argv=None) -> int:
             args.image, req,
             style_image=args.style, style_image1=args.style,
             style_image2=args.style2, color_palette_image=args.color_palette,
+            pixel_palette_image=args.pixel_from_image,
             metrics=metrics,
         )
         if out is None:
