@@ -363,8 +363,9 @@ def forward(
 
         tl = params["text_layers"][li]
         q = text + text_pos
+        # text-enhance layers use nhead//2 = 4 heads (official TextTransformer)
         text = text + _mha(
-            q, q, text, tl["self_attn"], tl["nheads"],
+            q, q, text, tl["self_attn"], 4,
             bias=(1.0 - tmaskf[:, None, None, :]) * -1e9,
         )
         text = _layer_norm(text, tl["ln1"])
@@ -522,7 +523,7 @@ def init_params(
 
     def text_layer():
         return {
-            "self_attn": mha(d), "nheads": 4,
+            "self_attn": mha(d),
             "ln1": ln(d), "ln2": ln(d),
             "fc1_w": nrm((d, 1024)), "fc1_b": jnp.zeros(1024, jnp.float32),
             "fc2_w": nrm((1024, d)), "fc2_b": jnp.zeros(d, jnp.float32),

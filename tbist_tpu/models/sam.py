@@ -242,6 +242,8 @@ def decode_masks(
 ) -> jnp.ndarray:
     """image_embedding: (1, 64, 64, 256); boxes01: (N, 4) xyxy in [0, 1].
     Returns (N, 256, 256) single-mask logits (multimask_output=False)."""
+    boxes01 = boxes01.astype(jnp.float32)
+    image_embedding = image_embedding.astype(jnp.float32)
     n = boxes01.shape[0]
     gaussian = params["pe_gaussian"]  # (2, 128)
 

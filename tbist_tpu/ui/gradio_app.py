@@ -170,6 +170,8 @@ def build_demo():
                 with gr.Group(visible=False) as depth_panel:
                     depth_mode = gr.Radio(DEPTH_EFFECTS, value=DEPTH_EFFECTS[1], label="Depth mode")
                     mip_n = gr.Slider(2, 8, 2, step=1, label="MIP layers")
+                    depth_preview_btn = gr.Button("Preview depth layers")
+                    depth_gallery = gr.Gallery(label="Depth split", columns=4)
 
                 with gr.Group(visible=False) as video_panel:
                     interp_frames = gr.Slider(0, 5, 0, step=1, label="Interpolation frames")
@@ -215,6 +217,24 @@ def build_demo():
             return palette_previews[int(i)]
 
         palette_idx.change(on_palette_idx, palette_idx, palette_preview)
+
+        def on_depth_preview(image_path, n):
+            # live depth-split preview (reference update_d_out,
+            # app.py:1178-1188 -> DepthStyle.depth_split)
+            if not image_path:
+                return []
+            import jax.numpy as jnp
+
+            from tbist_tpu.effects import depth as depth_fx
+            from tbist_tpu.ops import mip as mip_ops
+            from tbist_tpu.utils.imageio import load_image, to_device, to_uint8
+
+            x = to_device(load_image(image_path))
+            estimator = depth_fx.default_depth_estimator()
+            layers = mip_ops.generate_layers(x, estimator(x), int(n))
+            return [to_uint8(l) for l in layers]
+
+        depth_preview_btn.click(on_depth_preview, [image_in, mip_n], depth_gallery)
 
         # ---- run ----
         def run(input_type_v, image_path, video_path, *vals):

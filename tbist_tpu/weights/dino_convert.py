@@ -104,7 +104,6 @@ def convert(sd_raw, cfg: dino_lib.DinoConfig = dino_lib.BASE) -> Dict:
         text_layers.append(
             {
                 "self_attn": mha(f"{tl}.self_attn"),
-                "nheads": 4,
                 "ln1": ln(f"{tl}.norm1"),
                 "ln2": ln(f"{tl}.norm2"),
                 "fc1_w": lin_w(f"{tl}.linear1.weight"),
