@@ -24,9 +24,7 @@ import numpy as np
 
 from tbist_tpu.effects import basic, pixel_art as pixel_art_fx, style as style_fx
 from tbist_tpu.ops import masks as mask_ops
-from tbist_tpu.ops import mip as mip_ops
-from tbist_tpu.utils.config import EffectRequest, GatysConfig, TextEffectConfig
-from tbist_tpu.utils.imageio import to_device
+from tbist_tpu.utils.config import EffectRequest, TextEffectConfig
 from tbist_tpu.utils.logging import RunMetrics
 
 

@@ -26,10 +26,8 @@ grid_sample primitive; this is the JAX-native formulation — SURVEY §7
 
 from __future__ import annotations
 
-import functools
-import math
 import os
-from typing import Callable, Dict, List, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +35,6 @@ import numpy as np
 
 from tbist_tpu.models import bert as bert_lib
 from tbist_tpu.models import swin as swin_lib
-from tbist_tpu.utils.logging import logger
 
 _CACHE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "weights_cache"

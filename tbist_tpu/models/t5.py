@@ -15,7 +15,7 @@ vocab 32128, rel-pos 32 buckets / distance 128).
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,8 @@ Feature pytrees are ``{layer_name: (B, H, W, C) array}``.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Sequence
+import os
+from typing import Mapping, Sequence
 
 import jax.numpy as jnp
 
@@ -46,8 +47,6 @@ def content_loss(
         loss = loss + jnp.mean(jnp.square(x - y))
     return loss / len(content_layers)
 
-
-import os
 
 # Measured on v5e: XLA fuses the gram einsum into the surrounding loss
 # graph better than the standalone Pallas kernel (56 vs 43 iters/s on the

@@ -8,8 +8,6 @@ float — the reference's ``uint8 +=`` overflow on shared bin-boundary pixels
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

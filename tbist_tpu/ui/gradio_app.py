@@ -13,7 +13,7 @@ unlike the reference's module-global models (app.py:50-78).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
@@ -223,8 +223,6 @@ def build_demo():
             # app.py:1178-1188 -> DepthStyle.depth_split)
             if not image_path:
                 return []
-            import jax.numpy as jnp
-
             from tbist_tpu.effects import depth as depth_fx
             from tbist_tpu.ops import mip as mip_ops
             from tbist_tpu.utils.imageio import load_image, to_device, to_uint8

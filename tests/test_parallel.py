@@ -66,6 +66,36 @@ class TestBatchedStylize:
             )
 
 
+class TestShardingEquivalence:
+    def test_sharded_equals_unsharded(self):
+        """The sp-sharded (spatially partitioned) train step must produce
+        the same pixels as the single-device run — XLA's halo exchange and
+        collective insertion must not change the math."""
+        cfg = GatysConfig(num_steps=3, w_style=1e3)
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        frames = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), jnp.float32)
+        style = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+
+        def run(shard: bool):
+            f = frames
+            p = vgg_params
+            if shard:
+                mesh = mesh_lib.make_mesh(8, dp=2, sp=4)
+                f = jax.device_put(f, mesh_lib.batch_sharding(mesh))
+                p = jax.device_put(p, mesh_lib.replicated(mesh))
+            state, cf, tg, sg = batched.init_batch(cfg, p, f, (style,))
+            # one step: the update is a direct function of the gradient
+            # (longer LBFGS trajectories chaotically amplify benign
+            # reduction-order differences between partitionings)
+            state, losses_ = batched.train_step(cfg, p, state, cf, tg, sg)
+            return np.asarray(state.images), np.asarray(losses_)
+
+        img_a, loss_a = run(False)
+        img_b, loss_b = run(True)
+        np.testing.assert_allclose(loss_a, loss_b, rtol=1e-4)
+        np.testing.assert_allclose(img_a, img_b, atol=1e-3)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys, os
