@@ -158,7 +158,8 @@ def depth_head(params, cfg: DAConfig, hidden_states, grid_hw, out_hw):
         f = f.reshape(f.shape[0], gh, gw, -1)
         rs = params["reassemble"][i]
         if "up_w" in rs:
-            f = _conv_transpose(f, rs["up_w"], rs["up_b"], rs["up_stride"])
+            # stage 0 upsamples x4, stage 1 x2 (static per stage index)
+            f = _conv_transpose(f, rs["up_w"], rs["up_b"], 4 if i == 0 else 2)
         elif "down_w" in rs:
             f = _conv(f, rs["down_w"], rs["down_b"], stride=2)
         f = _conv(f, params["neck_convs"][i]["w"], None)  # 3x3, no bias (HF)
@@ -174,7 +175,13 @@ def depth_head(params, cfg: DAConfig, hidden_states, grid_hw, out_hw):
         else:
             x = x + _residual_unit(feats[i], p["res1"])
             x = _residual_unit(x, p["res2"])
-        target = (x.shape[1] * 2, x.shape[2] * 2)
+        # upsample to the next (shallower) feature's grid — sizes are not
+        # exact powers of two when the patch grid is odd (518/14 = 37), so
+        # HF passes explicit sizes rather than a x2 factor
+        if i > 0:
+            target = (feats[i - 1].shape[1], feats[i - 1].shape[2])
+        else:
+            target = (x.shape[1] * 2, x.shape[2] * 2)
         x = jax.image.resize(x, (x.shape[0], *target, x.shape[3]), "bilinear")
         x = _conv(x, p["proj_w"], p["proj_b"])
 
@@ -263,7 +270,6 @@ def convert_hf_state_dict(sd, cfg: DAConfig = SMALL) -> Dict:
             w = np.asarray(sd[f"{p}.resize.weight"], np.float32)  # (in, out, kh, kw)
             entry["up_w"] = jnp.asarray(np.transpose(w, (2, 3, 0, 1)))
             entry["up_b"] = arr(f"{p}.resize.bias")
-            entry["up_stride"] = strides[i]
         elif i == 3:  # stride-2 conv downsample
             w = np.asarray(sd[f"{p}.resize.weight"], np.float32)  # (out, in, kh, kw)
             entry["down_w"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
@@ -355,7 +361,6 @@ def _init_params_impl(key: jax.Array, cfg: DAConfig = SMALL) -> Dict:
         if i < 2:
             entry["up_w"] = nrm((s, s, c, c))
             entry["up_b"] = jnp.zeros(c)
-            entry["up_stride"] = s
         elif i == 3:
             entry["down_w"] = nrm((3, 3, c, c))
             entry["down_b"] = jnp.zeros(c)

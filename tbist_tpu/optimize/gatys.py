@@ -147,7 +147,7 @@ def _stylize_jit(
     loss_hist0 = jnp.zeros((cfg.num_steps,), jnp.float32)
 
     if cfg.optimizer == "lbfgs":
-        opt_state0 = lbfgs.init_state(n, memory_size=10)
+        opt_state0 = lbfgs.init_state(n, memory_size=cfg.lbfgs_memory)
 
         def body(i, carry):
             img, opt_state, hist = carry

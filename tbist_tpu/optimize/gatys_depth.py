@@ -70,7 +70,7 @@ def _stylize_depth_jit(
     value_and_grad = jax.value_and_grad(loss_fn)
     img0 = content.astype(jnp.float32)
     n = img0.size
-    opt_state0 = lbfgs.init_state(n, 10)
+    opt_state0 = lbfgs.init_state(n, cfg.lbfgs_memory)
     hist0 = jnp.zeros((cfg.num_steps,), jnp.float32)
 
     def body(i, carry):

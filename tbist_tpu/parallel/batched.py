@@ -111,7 +111,7 @@ def init_batch(
     b = frames.shape[0]
     n = frames[0].size
     if cfg.optimizer == "lbfgs":
-        opt_state = jax.vmap(lambda _: lbfgs.init_state(n, 10))(jnp.arange(b))
+        opt_state = jax.vmap(lambda _: lbfgs.init_state(n, cfg.lbfgs_memory))(jnp.arange(b))
     else:
         opt_state = optax.adam(cfg.adam_lr).init(frames)
     state = BatchState(

@@ -52,6 +52,8 @@ class GatysConfig:
     # CLIPstyler-style runs.
     optimizer: str = "lbfgs"
     learning_rate: float = 1.0  # LBFGS step scale; Adam uses adam_lr
+    lbfgs_memory: int = 10  # (s, y) history pairs (torch default is 100;
+    # 10 measured indistinguishable on this objective and 10x lighter)
     adam_lr: float = 2e-2
     # Two-style mixing weight (weight of style 2; reference StyleMixer.py:23).
     style_img_weight: float = 0.5
