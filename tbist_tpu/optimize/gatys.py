@@ -37,12 +37,17 @@ def style_weight_from_strength(strength: float) -> float:
 
 def _make_loss_fn(
     cfg: GatysConfig,
+    weights: jnp.ndarray,
     vgg_params,
     content_feats,
     style_feats_list,
     target_grad,
     compute_dtype,
 ):
+    """``cfg`` carries only structure here (which terms exist, layers);
+    the actual loss weights are the traced ``weights`` array
+    [w_style, w_content, w_tv, w_edge, style_img_weight] so sweeping
+    strengths (e.g. per MIP layer) reuses one compiled program."""
     mean = jnp.asarray(VGG_MEAN, jnp.float32)
     std = jnp.asarray(VGG_STD, jnp.float32)
     all_layers = tuple(dict.fromkeys(cfg.content_layers + cfg.style_layers))
@@ -54,31 +59,58 @@ def _make_loss_fn(
         )
         loss = jnp.zeros((), jnp.float32)
         if cfg.w_content > 0:
-            loss += cfg.w_content * losses.content_loss(
+            loss += weights[1] * losses.content_loss(
                 feats, content_feats, cfg.content_layers
             )
         if cfg.w_style > 0:
-            loss += cfg.w_style * losses.style_loss(
+            loss += weights[0] * losses.style_loss(
                 feats,
                 style_feats_list,
                 cfg.style_layers,
-                cfg.style_img_weight,
+                weights[4],
                 cfg.exact_reference_mixer,
             )
         if cfg.w_tv > 0:
-            loss += cfg.w_tv * losses.total_variation_loss(normed)
+            loss += weights[2] * losses.total_variation_loss(normed)
         if cfg.w_edge > 0:
             grad_img = losses.gradient_images(losses.to_grayscale(img))
-            loss += cfg.w_edge * losses.edge_loss(target_grad, grad_img)
+            loss += weights[3] * losses.edge_loss(target_grad, grad_img)
         return loss
 
     return loss_fn
+
+
+def _normalize_static(cfg: GatysConfig) -> GatysConfig:
+    """Collapse traced-able fields to canonical values for the jit key, so
+    runs differing only in loss weights / seed share one compilation."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        w_style=float(cfg.w_style > 0),
+        w_content=float(cfg.w_content > 0),
+        w_tv=float(cfg.w_tv > 0),
+        w_edge=float(cfg.w_edge > 0),
+        w_depth=float(cfg.w_depth > 0),
+        style_img_weight=0.5,
+        learning_rate=1.0,
+        seed=0,
+    )
+
+
+def _weights_array(cfg: GatysConfig) -> jnp.ndarray:
+    return jnp.asarray(
+        [cfg.w_style, cfg.w_content, cfg.w_tv, cfg.w_edge,
+         cfg.style_img_weight, cfg.learning_rate],
+        jnp.float32,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_styles"))
 def _stylize_jit(
     cfg: GatysConfig,
     n_styles: int,
+    weights: jnp.ndarray,
     vgg_params,
     content: jnp.ndarray,
     styles: Tuple[jnp.ndarray, ...],
@@ -131,7 +163,8 @@ def _stylize_jit(
         )
 
     loss_fn = _make_loss_fn(
-        cfg, vgg_params, content_feats, style_feats_list, target_grad, compute_dtype
+        cfg, weights, vgg_params, content_feats, style_feats_list, target_grad,
+        compute_dtype,
     )
     value_and_grad = jax.value_and_grad(loss_fn)
 
@@ -154,7 +187,7 @@ def _stylize_jit(
             img = jnp.clip(img, 0.0, 1.0)  # per-closure clamp (:108-109)
             value, grad = value_and_grad(img)
             step_vec, opt_state = lbfgs.update(
-                grad.reshape(-1), opt_state, lr=cfg.learning_rate
+                grad.reshape(-1), opt_state, lr=weights[5]
             )
             img = img + step_vec.reshape(shape)
             return img, opt_state, hist.at[i].set(value)
@@ -202,6 +235,6 @@ def stylize(
         key = jax.random.key(cfg.seed)
     styles = tuple(s.astype(jnp.float32) for s in styles)
     return _stylize_jit(
-        cfg, len(styles), vgg_params, content.astype(jnp.float32), styles, key,
-        init,
+        _normalize_static(cfg), len(styles), _weights_array(cfg), vgg_params,
+        content.astype(jnp.float32), styles, key, init,
     )

@@ -26,6 +26,7 @@ from tbist_tpu.utils.logging import RunMetrics
 def _stylize_depth_jit(
     cfg: GatysConfig,
     depth_fn: Callable,
+    weights: jnp.ndarray,
     vgg_params,
     content: jnp.ndarray,
     style: jnp.ndarray,
@@ -50,21 +51,21 @@ def _stylize_depth_jit(
         feats = vgg19.extract_features(vgg_params, normed, all_layers, compute_dtype)
         loss = jnp.zeros((), jnp.float32)
         if cfg.w_content > 0:
-            loss += cfg.w_content * losses.content_loss(
+            loss += weights[1] * losses.content_loss(
                 feats, content_feats, cfg.content_layers
             )
         if cfg.w_style > 0:
-            loss += cfg.w_style * losses.style_loss(
+            loss += weights[0] * losses.style_loss(
                 feats, [style_feats], cfg.style_layers
             )
         if cfg.w_tv > 0:
-            loss += cfg.w_tv * losses.total_variation_loss(normed)
+            loss += weights[2] * losses.total_variation_loss(normed)
         if cfg.w_edge > 0:
             g = losses.gradient_images(losses.to_grayscale(img))
-            loss += cfg.w_edge * losses.edge_loss(target_grad, g)
+            loss += weights[3] * losses.edge_loss(target_grad, g)
         if cfg.w_depth > 0:
             d = mip_ops.normalize_depth(depth_fn(img))
-            loss += cfg.w_depth * losses.depth_loss(d, target_depth)
+            loss += weights[6] * losses.depth_loss(d, target_depth)
         return loss
 
     value_and_grad = jax.value_and_grad(loss_fn)
@@ -77,7 +78,7 @@ def _stylize_depth_jit(
         img, opt_state, hist = carry
         img = jnp.clip(img, 0.0, 1.0)
         value, grad = value_and_grad(img)
-        step_vec, opt_state = lbfgs.update(grad.reshape(-1), opt_state, cfg.learning_rate)
+        step_vec, opt_state = lbfgs.update(grad.reshape(-1), opt_state, weights[5])
         return img + step_vec.reshape(img.shape), opt_state, hist.at[i].set(value)
 
     img, _, hist = jax.lax.fori_loop(0, cfg.num_steps, body, (img0, opt_state0, hist0))
@@ -96,8 +97,14 @@ def stylize_with_depth(
         from tbist_tpu.weights import vgg as vgg_weights
 
         vgg_params = vgg_weights.get_params()
+    from tbist_tpu.optimize.gatys import _normalize_static, _weights_array
+
+    weights = jnp.concatenate(
+        [_weights_array(cfg), jnp.asarray([cfg.w_depth], jnp.float32)]
+    )
     out, hist = _stylize_depth_jit(
-        cfg, depth_fn, vgg_params, content.astype(jnp.float32), style.astype(jnp.float32)
+        _normalize_static(cfg), depth_fn, weights, vgg_params,
+        content.astype(jnp.float32), style.astype(jnp.float32),
     )
     if metrics is not None:
         metrics.loss_history = [float(x) for x in jax.device_get(hist)]
