@@ -1,3 +1,23 @@
-from tbist_tpu.ops import colorspace, filters, losses, resize
+from tbist_tpu.ops import (
+    canny,
+    colorspace,
+    filters,
+    losses,
+    masks,
+    mip,
+    mixing,
+    palette,
+    resize,
+)
 
-__all__ = ["colorspace", "filters", "losses", "resize"]
+__all__ = [
+    "canny",
+    "colorspace",
+    "filters",
+    "losses",
+    "masks",
+    "mip",
+    "mixing",
+    "palette",
+    "resize",
+]
