@@ -94,36 +94,75 @@ def merge_content_style_masks(
         sh = max(math.floor(kh * step_size_multiplier), 1)
         sw = max(math.floor(kw * step_size_multiplier), 1)
 
-        for rev_r, rev_c in ((False, False), (False, True), (True, False), (True, True)):
-            rows = _anchor_positions(h, sh, rev_r)
-            cols = _anchor_positions(w, sw, rev_c)
-            if rows.size == 0 or cols.size == 0:
-                continue
-            pad_r = (kh, 0) if rev_r else (0, kh)
-            pad_c = (kw, 0) if rev_c else (0, kw)
-            padded = jnp.pad(blurred, (pad_r, pad_c))
+        # In padded coordinates (one kernel each side), the anchors' window
+        # starts are the union of two arithmetic grids per axis: forward
+        # starts shifted by the leading pad, and reverse windows [i-k, i)
+        # starting at padded index i. The 4 corner anchors are exactly the
+        # cartesian products of these row/col grids.
+        row_grids = [
+            _anchor_positions(h, sh, False) + kh,
+            _anchor_positions(h, sh, True),
+        ]
+        col_grids = [
+            _anchor_positions(w, sw, False) + kw,
+            _anchor_positions(w, sw, True),
+        ]
+        # slack so interleaved Q-cells may overhang the crop region
+        q_r = -(-kh // sh)
+        q_c = -(-kw // sw)
+        slack_r, slack_c = q_r * sh, q_c * sw
+        padded = jnp.pad(blurred, ((kh, kh + slack_r), (kw, kw + slack_c)))
+        acc = jnp.zeros_like(padded)
 
-            starts_r, starts_c = np.meshgrid(rows, cols, indexing="ij")
-            starts = jnp.asarray(
-                np.stack([starts_r.ravel(), starts_c.ravel()], axis=1)
-            )
-
-            def window_fn(start, padded=padded, em=em, kh=kh, kw=kw):
-                win = jax.lax.dynamic_slice(padded, (start[0], start[1]), (kh, kw))
-                prod = win * em
-                return prod / (jnp.max(prod) + 1e-7)
-
-            tiles = jax.vmap(window_fn)(starts)  # (n, kh, kw)
-
-            r_idx = starts[:, 0][:, None, None] + jnp.arange(kh)[None, :, None]
-            c_idx = starts[:, 1][:, None, None] + jnp.arange(kw)[None, None, :]
-            acc = jnp.zeros(
-                (h + pad_r[0] + pad_r[1], w + pad_c[0] + pad_c[1]), jnp.float32
-            )
-            acc = acc.at[r_idx, c_idx].add(tiles)
-            merged = merged + jax.lax.dynamic_slice(acc, (pad_r[0], pad_c[0]), (h, w))
+        for rows in row_grids:
+            for cols in col_grids:
+                if rows.size == 0 or cols.size == 0:
+                    continue
+                acc = _grid_accumulate(
+                    acc, padded, em, np.sort(rows), np.sort(cols), kh, kw, sh, sw
+                )
+        merged = merged + jax.lax.dynamic_slice(acc, (kh, kw), (h, w))
 
     return merged / jnp.maximum(jnp.max(merged), 1e-20)
+
+
+def _grid_accumulate(acc, padded, em, rows, cols, kh, kw, sh, sw):
+    """Add normalized window products for one regular start grid, scatter-free.
+
+    Windows start at ``rows × cols`` (arithmetic grids with strides sh/sw).
+    TPU scatters serialize, so instead the windows are partitioned into
+    q_r×q_c interleaved groups whose members are spatially disjoint
+    (group stride Q = ceil(k/s)·s ≥ k); each group's tiles, zero-padded to
+    the Q-cell, concatenate into one contiguous block added with a static
+    slice — pure reshapes and adds.
+    """
+    n_r, n_c = rows.size, cols.size
+    q_r = -(-kh // sh)
+    q_c = -(-kw // sw)
+    big_q_r, big_q_c = q_r * sh, q_c * sw
+
+    starts_r, starts_c = np.meshgrid(rows, cols, indexing="ij")
+    starts = jnp.asarray(np.stack([starts_r.ravel(), starts_c.ravel()], axis=1))
+
+    def window_fn(start):
+        win = jax.lax.dynamic_slice(padded, (start[0], start[1]), (kh, kw))
+        prod = win * em
+        return prod / (jnp.max(prod) + 1e-7)
+
+    tiles = jax.vmap(window_fn)(starts).reshape(n_r, n_c, kh, kw)
+    tiles = jnp.pad(
+        tiles, ((0, 0), (0, 0), (0, big_q_r - kh), (0, big_q_c - kw))
+    )
+
+    for a in range(min(q_r, n_r)):
+        for b in range(min(q_c, n_c)):
+            sub = tiles[a::q_r, b::q_c]  # disjoint along both axes
+            na, nb = sub.shape[0], sub.shape[1]
+            block = sub.transpose(0, 2, 1, 3).reshape(na * big_q_r, nb * big_q_c)
+            rs = int(rows[a])
+            cs = int(cols[b])
+            acc = acc.at[rs : rs + na * big_q_r, cs : cs + nb * big_q_c].add(block)
+    return acc
 
 
 def emoji_composite(
