@@ -95,6 +95,55 @@ def _is_pure_style_request(req: EffectRequest) -> bool:
     )
 
 
+def _is_pure_text_transfer_request(req: EffectRequest) -> bool:
+    return (
+        req.text is not None
+        and bool(req.text.style_prompt)
+        and not req.text.location_prompt
+        and not req.text.texture_prompt
+        and not req.grayscale
+        and req.pixel_art is None
+        and not req.style_transfer
+        and not req.style_mixing
+        and not req.color_palette
+        and req.depth is None
+    )
+
+
+def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List[np.ndarray]:
+    """Feed-forward Ghiasi stylization of all frames in dp batches: the
+    prompt embeds once, then one jitted forward per frame batch (the
+    reference re-runs CLIP + Ghiasi per frame through the full image
+    pipeline, app.py:794)."""
+    from tbist_tpu.effects import text_transfer as tt
+    from tbist_tpu.models import clip_mlp, ghiasi
+
+    g_params, m_params = tt.default_params()
+    from tbist_tpu.models import clip_text
+
+    emb = clip_text.get_default_encoder()(req.text.style_prompt)
+    emb = jnp.mean(emb.astype(jnp.float32), axis=0, keepdims=True)
+    emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    style = clip_mlp.apply(m_params, emb)  # (1, 100)
+
+    fwd = jax.jit(lambda x, s: ghiasi.apply(g_params, x, s))
+    bsz = req.video.frame_batch
+    outs: List[np.ndarray] = []
+    stack = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
+    for i in range(0, stack.shape[0], bsz):
+        chunk = stack[i : i + bsz]
+        pad = 0
+        if chunk.shape[0] < bsz and i > 0:
+            pad = bsz - chunk.shape[0]
+            chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+        sv = jnp.broadcast_to(style, (chunk.shape[0], style.shape[1]))
+        res = fwd(chunk, sv)
+        if pad:
+            res = res[:-pad]
+        outs.extend(to_uint8(r) for r in np.asarray(res))
+    return outs
+
+
 def apply_video(
     video_path: str,
     req: EffectRequest,
@@ -115,6 +164,8 @@ def apply_video(
 
     if _is_pure_style_request(req) and inputs.style_image is not None:
         processed = _batched_style(frames, req, inputs, registry)
+    elif _is_pure_text_transfer_request(req):
+        processed = _batched_text_transfer(frames, req)
     else:
         processed = []
         for i, frame in enumerate(frames):

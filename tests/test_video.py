@@ -103,3 +103,22 @@ class TestVideoPipeline:
     def test_missing_video_returns_none(self):
         req = EffectRequest(grayscale=True)
         assert vid.apply_video(None, req) is None
+
+    def test_batched_text_transfer_path(self):
+        from tbist_tpu.utils.config import TextEffectConfig
+
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path, n_frames=3, size=(64, 64))
+            req = EffectRequest(
+                text=TextEffectConfig(style_prompt="mosaic"),
+                video=VideoConfig(frame_batch=2),
+            )
+            assert vid._is_pure_text_transfer_request(req)
+            out_path = vid.apply_video(
+                in_path, req, pipe.EffectInputs(),
+                out_path=os.path.join(d, "out.mp4"),
+            )
+            assert out_path and os.path.exists(out_path)
+            frames, _ = vid.read_frames(out_path)
+            assert len(frames) == 3
