@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", choices=["lbfgs", "adam"], default="lbfgs")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 VGG trunk (+~16%% iters/s on TPU)")
+    p.add_argument("--resume-dir",
+                   help="checkpoint dir: resumable optimization in segments")
+    p.add_argument("--segment-steps", type=int, default=100,
+                   help="steps per checkpoint segment with --resume-dir")
 
     p.add_argument("--color-palette", help="palette source image path")
     p.add_argument("--depth", choices=["mip", "depth_loss"])
@@ -112,6 +116,23 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     req = request_from_args(args)
     metrics = RunMetrics()
+    if args.resume_dir and args.style_transfer and args.image and args.style:
+        # resumable pixel optimization (optimize.checkpoint): segments of
+        # --segment-steps with orbax state between them
+        from tbist_tpu.optimize import checkpoint as ckpt
+        from tbist_tpu.utils.imageio import load_image, to_device, to_pil
+        from tbist_tpu.weights import vgg as vgg_weights
+
+        cfg = req.gatys
+        content = to_device(load_image(args.image), cfg.shape_bucket, cfg.max_side)
+        style = to_device(load_image(args.style), cfg.shape_bucket, cfg.max_side)
+        out, hist = ckpt.stylize_resumable(
+            content, [style], cfg, vgg_weights.get_params(),
+            args.resume_dir, args.segment_steps,
+        )
+        to_pil(out).save(args.out)
+        logger.info("wrote %s (resumable, %d new steps)", args.out, len(hist))
+        return 0
     if args.video:
         path = api.apply_video(
             args.video, req,

@@ -122,8 +122,7 @@ def init_batch(
     return state, content_feats, target_grads, style_grams
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def train_step(
+def _train_step_impl(
     cfg: GatysConfig,
     vgg_params,
     state: BatchState,
@@ -131,7 +130,6 @@ def train_step(
     target_grads,
     style_grams,
 ) -> Tuple[BatchState, jnp.ndarray]:
-    """One optimizer step for the whole frame batch. Returns (state, losses(B,))."""
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     loss_fn = _per_frame_loss(cfg, vgg_params, style_grams, compute_dtype)
 
@@ -154,18 +152,46 @@ def train_step(
     return BatchState(new_imgs, opt_state, state.step + 1), values
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def train_step(
+    cfg: GatysConfig,
+    vgg_params,
+    state: BatchState,
+    content_feats,
+    target_grads,
+    style_grams,
+) -> Tuple[BatchState, jnp.ndarray]:
+    """One optimizer step for the whole frame batch. Returns (state, losses(B,))."""
+    return _train_step_impl(
+        cfg, vgg_params, state, content_feats, target_grads, style_grams
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _run_steps(cfg: GatysConfig, vgg_params, state, content_feats, target_grads, style_grams):
+    """num_steps train steps fused into one program (no per-step dispatch)."""
+
+    def body(_, st):
+        st, _losses = _train_step_impl(
+            cfg, vgg_params, st, content_feats, target_grads, style_grams
+        )
+        return st
+
+    return jax.lax.fori_loop(0, cfg.num_steps, body, state)
+
+
 def run(
     cfg: GatysConfig,
     vgg_params,
     frames: jnp.ndarray,
     styles: Tuple[jnp.ndarray, ...],
 ) -> jnp.ndarray:
-    """Full batched stylization: init + num_steps train steps + clamp."""
+    """Full batched stylization: init + num_steps train steps + clamp.
+
+    The whole step loop runs as one jitted program; use ``train_step``
+    directly when per-step losses or checkpointing are needed."""
     state, content_feats, target_grads, style_grams = init_batch(
         cfg, vgg_params, frames, styles
     )
-    for _ in range(cfg.num_steps):
-        state, _ = train_step(
-            cfg, vgg_params, state, content_feats, target_grads, style_grams
-        )
+    state = _run_steps(cfg, vgg_params, state, content_feats, target_grads, style_grams)
     return jnp.clip(state.images, 0.0, 1.0)

@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List
 
 logger = logging.getLogger("tbist_tpu")
+logger.propagate = False  # avoid double lines when the root logger has handlers
 if not logger.handlers:
     _h = logging.StreamHandler()
     _h.setFormatter(
