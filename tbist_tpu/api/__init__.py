@@ -61,6 +61,24 @@ def apply_image(
     """Run the effect chain; returns a PIL image or None on invalid input."""
     x = _as_device(image)
     if x is None:
+        # texture-mask-only works without an input image: return the emoji
+        # stencil visualization (reference app.py:252-263)
+        t = request.text
+        if (
+            t is not None
+            and t.texture_prompt
+            and not t.style_prompt
+            and not t.location_prompt
+        ):
+            import jax.numpy as jnp
+
+            from tbist_tpu.compose.pipeline import ModelRegistry
+
+            reg = (registry or ModelRegistry()).ensure("emoji_extractor")
+            mask = reg.emoji_extractor(t.texture_prompt)
+            return from_device(
+                jnp.repeat(mask.astype(jnp.float32)[None, ..., None], 3, -1)
+            )
         return None
     inputs = EffectInputs(
         style_image=_as_device(style_image),
