@@ -82,6 +82,34 @@ class TestServe:
         status, _ = _post(server_url + "/v1/nope", {})
         assert status == 404
 
+    def test_concurrent_requests_serialize_safely(self, server_url):
+        """Device programs run one at a time behind the handler lock; all
+        concurrent requests must still succeed with correct results."""
+        import concurrent.futures
+
+        rng = np.random.default_rng(1)
+        imgs = [(rng.random((24, 24, 3)) * 255).astype(np.uint8) for _ in range(4)]
+
+        def call(img):
+            return _post(
+                server_url + "/v1/image",
+                {"image": _b64(img), "request": {"grayscale": True}},
+            )
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(call, imgs))
+        assert all(status == 200 for status, _ in results)
+        outs = [
+            np.asarray(Image.open(io.BytesIO(base64.b64decode(d["image"]))))
+            for _, d in results
+        ]
+        # each response corresponds to its own input (not swapped)
+        for img, out in zip(imgs, outs):
+            want = (
+                img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+            )
+            assert np.abs(out[..., 0].astype(float) - want).mean() < 2.0
+
 
 class TestRequestSchema:
     def test_nested_configs(self):
