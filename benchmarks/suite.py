@@ -8,8 +8,12 @@ Measures on the current JAX backend (TPU under axon; CPU elsewhere):
   5. Emoji-mask merge latency (device scatter-add vs the reference's
      pure-Python loops measured inline)
 
+With ``--models``, also measures the heavy model-family forwards with
+seeded weights (SAM, GroundingDINO, Depth-Anything, T5, Ghiasi) —
+reproducing the numbers in PARITY.md.
+
 Writes benchmarks/results.json and prints one JSON line per metric.
-Run: python benchmarks/suite.py [--quick]
+Run: python benchmarks/suite.py [--quick] [--models]
 """
 
 from __future__ import annotations
@@ -36,7 +40,56 @@ def _timeit(fn, warmup=1, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def main(quick: bool = False):
+def _model_metrics(results):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+
+    from tbist_tpu.models import sam
+
+    sam_params = sam.init_params(key, sam.BASE)
+    rng = np.random.default_rng(0)
+    img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+    boxes = np.asarray([[100.0, 100.0, 400.0, 380.0]], np.float32)
+    dt = _timeit(lambda: jnp.asarray(sam.predict_boxes(sam_params, sam.BASE, img, boxes)),
+                 warmup=1, iters=3)
+    results["sam_vitb_predict_ms"] = dt * 1e3
+    del sam_params
+
+    from tbist_tpu.models import dino
+
+    dino_params = dino.init_params(key)
+    dimg = jax.random.uniform(key, (1, 480, 640, 3), jnp.float32)
+    ids = jnp.asarray([[101, 4049, 1012, 102]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    fwd = jax.jit(lambda p, i, t, m: dino.forward(p, dino.BASE, i, t, m))
+    dt = _timeit(lambda: fwd(dino_params, dimg, ids, mask)["pred_boxes"],
+                 warmup=1, iters=3)
+    results["groundingdino_forward_ms"] = dt * 1e3
+    del dino_params
+
+    from tbist_tpu.models import depth_anything as da
+
+    da_params = da.init_params(key)
+    f = jax.jit(lambda p, x: da.predict_depth(p, da.SMALL, x))
+    dt = _timeit(lambda: f(da_params, dimg), warmup=1, iters=3)
+    results["depth_anything_small_ms"] = dt * 1e3
+    del da_params
+
+    from tbist_tpu.models import t5
+
+    t5_params = t5.init_params(key)
+    tids = jnp.asarray([[21603, 10, 3, 9, 1712, 1]], jnp.int32)
+    tmask = jnp.ones_like(tids, jnp.float32)
+    dt = _timeit(
+        lambda: t5.generate(t5_params, t5.BASE, tids, tmask, key, max_len=16),
+        warmup=1, iters=3,
+    )
+    results["t5_base_decode16_ms"] = dt * 1e3
+
+
+def main(quick: bool = False, models: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -95,6 +148,9 @@ def main(quick: bool = False):
     )
     results["emoji_merge_512px_ms"] = dt * 1e3
 
+    if models:
+        _model_metrics(results)
+
     out_path = os.path.join(REPO, "benchmarks", "results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
@@ -105,4 +161,6 @@ def main(quick: bool = False):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    main(ap.parse_args().quick)
+    ap.add_argument("--models", action="store_true")
+    args = ap.parse_args()
+    main(args.quick, args.models)
