@@ -82,12 +82,18 @@ class ClipTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
-        self.pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False
-            else r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-            re.IGNORECASE,
-        )
+        try:  # exact CLIP pattern (unicode classes need the regex module)
+            import regex
+
+            self.pat = regex.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+                regex.IGNORECASE,
+            )
+        except ImportError:  # ASCII approximation (fine for English prompts)
+            self.pat = re.compile(
+                r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+                re.IGNORECASE,
+            )
 
     def _bpe(self, token: str) -> str:
         if token in self.cache:
@@ -126,7 +132,7 @@ class ClipTokenizer:
         text = html.unescape(html.unescape(text))
         text = re.sub(r"\s+", " ", text).strip().lower()
         ids: List[int] = []
-        for token in re.findall(self.pat, text):
+        for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token).split(" "))
         return ids
