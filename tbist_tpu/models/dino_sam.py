@@ -56,27 +56,109 @@ def _dino_jit(params, cfg, image, input_ids, text_mask):
     return dino_lib.forward(params, cfg, image, input_ids, text_mask)
 
 
-def _simple_bert_tokenize(prompt: str, vocab: dict) -> List[int]:
-    """Greedy WordPiece over a loaded vocab (enough for short prompts)."""
-    ids = [vocab["[CLS]"]]
-    for word in prompt.lower().split():
-        start = 0
-        while start < len(word):
-            end = len(word)
-            piece = None
-            while start < end:
-                sub = word[start:end]
-                if start > 0:
-                    sub = "##" + sub
-                if sub in vocab:
-                    piece = sub
-                    break
-                end -= 1
-            if piece is None:
-                ids.append(vocab.get("[UNK]", 100))
+def _is_punctuation(ch: str) -> bool:
+    """HF BertTokenizer punctuation test: ASCII symbol ranges + Unicode P*."""
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    import unicodedata
+
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def _basic_tokenize(text: str) -> List[str]:
+    """HF BasicTokenizer (uncased): clean, isolate CJK chars, lowercase,
+    strip accents (NFD, drop Mn), split on punctuation.
+
+    This is what GroundingDINO's BertTokenizer applies before WordPiece
+    (text/subnetworks/groundingdino_text_object_detector.py:69-70 always
+    appends '.', so punctuation splitting is on every real prompt's path).
+    """
+    import unicodedata
+
+    cleaned = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or unicodedata.category(ch) in ("Cc", "Cf"):
+            if ch not in ("\t", "\n", "\r"):
+                continue
+        if ch.isspace() or ch in ("\t", "\n", "\r"):
+            cleaned.append(" ")
+        elif _is_cjk(cp):
+            cleaned.extend((" ", ch, " "))
+        else:
+            cleaned.append(ch)
+    out: List[str] = []
+    for token in "".join(cleaned).split():
+        token = token.lower()
+        token = "".join(
+            c for c in unicodedata.normalize("NFD", token)
+            if unicodedata.category(c) != "Mn"
+        )
+        # split on punctuation, keeping each punctuation char as its own token
+        word: List[str] = []
+        for ch in token:
+            if _is_punctuation(ch):
+                if word:
+                    out.append("".join(word))
+                    word = []
+                out.append(ch)
+            else:
+                word.append(ch)
+        if word:
+            out.append("".join(word))
+    return out
+
+
+def _wordpiece(word: str, vocab: dict) -> List[str]:
+    """HF WordpieceTokenizer: greedy longest-match; any unmatched remainder
+    turns the WHOLE word into [UNK] (not just the tail)."""
+    if len(word) > 100:
+        return ["[UNK]"]
+    pieces: List[str] = []
+    start = 0
+    while start < len(word):
+        end = len(word)
+        piece = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                piece = sub
                 break
-            ids.append(vocab[piece])
-            start = end
+            end -= 1
+        if piece is None:
+            return ["[UNK]"]
+        pieces.append(piece)
+        start = end
+    return pieces
+
+
+def _simple_bert_tokenize(prompt: str, vocab: dict) -> List[int]:
+    """HF-faithful uncased BERT tokenization: [CLS] BasicTokenizer→WordPiece [SEP].
+
+    Parity target: transformers.BertTokenizer('bert-base-uncased'), which
+    GroundingDINO uses for every prompt. E.g. 'boat.' → [CLS] boat . [SEP].
+    """
+    unk = vocab.get("[UNK]", 100)
+    ids = [vocab["[CLS]"]]
+    for word in _basic_tokenize(prompt):
+        for piece in _wordpiece(word, vocab):
+            ids.append(vocab.get(piece, unk))
     ids.append(vocab["[SEP]"])
     return ids
 
@@ -90,6 +172,59 @@ def _load_vocab():
         raise FileNotFoundError(f"no BERT vocab at {path}")
     with open(path) as f:
         return {tok.rstrip("\n"): i for i, tok in enumerate(f)}
+
+
+def preprocess_image(
+    image,
+    resize: bool = False,
+    square: bool = False,
+    height: int = 512,
+    width: int = 512,
+    left: int = 0,
+    right: int = 0,
+    top: int = 0,
+    bottom: int = 0,
+) -> np.ndarray:
+    """Crop / square / resize preprocessing, host-side.
+
+    Capability parity with TextMaskExtractor._preprocess_image
+    (text/TextMaskExtractor.py:70-131): crop `left/right/top/bottom` pixels,
+    optionally center-crop to square, optionally resize to (height, width).
+    Returns (H, W, 3) uint8 RGB. Two intended divergences (see PARITY.md):
+    the reference clamps `top` by `h-left-1` (typo) and passes PIL.resize
+    the swapped (height, width) tuple; we clamp top by h-1 and resize to an
+    actual height×width result.
+    """
+    if isinstance(image, str):
+        from PIL import Image
+
+        image = np.array(Image.open(image).convert("RGB"))
+    else:
+        image = np.asarray(image)
+    if image.ndim == 2:
+        image = np.stack([image] * 3, axis=-1)
+    image = image[:, :, :3]
+    h, w = image.shape[:2]
+    left = min(left, w - 1)
+    right = min(right, w - left - 1)
+    top = min(top, h - 1)
+    bottom = min(bottom, h - top - 1)
+    image = image[top : h - bottom, left : w - right]
+    h, w = image.shape[:2]
+    if square:
+        if h < w:
+            off = (w - h) // 2
+            image = image[:, off : off + h]
+        elif w < h:
+            off = (h - w) // 2
+            image = image[off : off + w]
+    if resize:
+        import jax
+
+        x = jnp.asarray(image, jnp.float32)
+        x = jax.image.resize(x, (height, width, x.shape[-1]), "bilinear")
+        image = np.asarray(jnp.clip(jnp.round(x), 0, 255), np.uint8)
+    return np.ascontiguousarray(image)
 
 
 def detect(

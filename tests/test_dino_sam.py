@@ -25,7 +25,8 @@ class TestDetectionSize:
 class TestWordpiece:
     VOCAB = {
         "[CLS]": 0, "[SEP]": 1, "[UNK]": 2, "boat": 3, ".": 4,
-        "sail": 5, "##ing": 6, "a": 7,
+        "sail": 5, "##ing": 6, "a": 7, ",": 8, "cafe": 9, "猫": 10,
+        "un": 11, "##afford": 12,
     }
 
     def test_simple_words(self):
@@ -43,6 +44,96 @@ class TestWordpiece:
     def test_lowercasing(self):
         ids = dino_sam._simple_bert_tokenize("BOAT", self.VOCAB)
         assert ids == [0, 3, 1]
+
+    def test_punctuation_split(self):
+        # The VERDICT bug: detect() appends '.', and HF splits it off the word.
+        ids = dino_sam._simple_bert_tokenize("boat.", self.VOCAB)
+        assert ids == [0, 3, 4, 1]
+
+    def test_punctuation_interior(self):
+        ids = dino_sam._simple_bert_tokenize("boat,sailing.", self.VOCAB)
+        assert ids == [0, 3, 8, 5, 6, 4, 1]
+
+    def test_unmatched_tail_makes_whole_word_unk(self):
+        # HF semantics: 'unaffordable' matches un ##afford but not ##able
+        # -> the ENTIRE word becomes [UNK], not un ##afford [UNK].
+        ids = dino_sam._simple_bert_tokenize("unaffordable", self.VOCAB)
+        assert ids == [0, 2, 1]
+
+    def test_accent_stripping(self):
+        ids = dino_sam._simple_bert_tokenize("café", self.VOCAB)
+        assert ids == [0, 9, 1]
+
+    def test_cjk_isolation(self):
+        ids = dino_sam._simple_bert_tokenize("猫猫", self.VOCAB)
+        assert ids == [0, 10, 10, 1]
+
+
+class TestHFTokenizerParity:
+    """Exact parity with transformers.BertTokenizer on a synthetic vocab."""
+
+    PROMPTS = [
+        "boat.",
+        "a red BOAT, sailing.",
+        "café au lait!",
+        "fire 猫 truck...",
+        "weird--hyphen's case?",
+        "unaffordable things.",
+    ]
+
+    def test_matches_hf_bert_tokenizer(self, tmp_path):
+        transformers = pytest.importorskip("transformers")
+        words = [
+            "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+            "boat", ".", ",", "!", "?", "-", "'", "a", "red", "sail",
+            "##ing", "cafe", "au", "la", "##it", "fire", "truck", "weird",
+            "hyphen", "s", "case", "un", "##afford", "thing", "##s",
+        ]
+        vocab_file = tmp_path / "vocab.txt"
+        vocab_file.write_text("\n".join(words) + "\n")
+        hf = transformers.BertTokenizer(
+            str(vocab_file), do_lower_case=True, do_basic_tokenize=True
+        )
+        vocab = {w: i for i, w in enumerate(words)}
+        for prompt in self.PROMPTS:
+            ours = dino_sam._simple_bert_tokenize(prompt, vocab)
+            theirs = hf(prompt)["input_ids"]
+            assert ours == theirs, (prompt, ours, theirs)
+
+
+class TestPreprocessImage:
+    def _img(self, h=40, w=60):
+        return np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+
+    def test_noop_default(self):
+        img = self._img()
+        out = dino_sam.preprocess_image(img)
+        np.testing.assert_array_equal(out, img)
+
+    def test_crop(self):
+        out = dino_sam.preprocess_image(self._img(), left=5, right=10, top=2, bottom=3)
+        assert out.shape == (40 - 2 - 3, 60 - 5 - 10, 3)
+        np.testing.assert_array_equal(out, self._img()[2:37, 5:50])
+
+    def test_square_center_crop(self):
+        out = dino_sam.preprocess_image(self._img(40, 60), square=True)
+        assert out.shape == (40, 40, 3)
+        np.testing.assert_array_equal(out, self._img()[:, 10:50])
+        tall = dino_sam.preprocess_image(self._img(60, 40).transpose(0, 1, 2), square=True)
+        assert tall.shape[0] == tall.shape[1]
+
+    def test_resize(self):
+        out = dino_sam.preprocess_image(self._img(), resize=True, height=16, width=24)
+        assert out.shape == (16, 24, 3) and out.dtype == np.uint8
+
+    def test_grayscale_promoted(self):
+        g = np.zeros((8, 8), np.uint8)
+        out = dino_sam.preprocess_image(g)
+        assert out.shape == (8, 8, 3)
+
+    def test_overlarge_crops_clamped(self):
+        out = dino_sam.preprocess_image(self._img(10, 10), left=100, top=100)
+        assert out.shape[0] >= 1 and out.shape[1] >= 1
 
 
 class TestExtractorFallback:
