@@ -1,0 +1,381 @@
+"""Block-level numerical parity vs torch for every weight-layout convention
+that a checkpoint converter relies on (VERDICT r1 item 1).
+
+The six model families' converters transpose / split / pack torch weights
+into x@W pytrees; these tests prove each packing against the authoritative
+torch module on random weights, so a silent key/transpose mistake cannot
+survive until real checkpoints arrive. Matches the conventions consumed by:
+  * torch nn.MultiheadAttention in-proj packing  -> models/dino.py:_mha
+  * Swin window attention (official Swin layout) -> models/swin.py
+  * F.grid_sample(align_corners=False)           -> models/dino.py:_bilinear_sample
+  * SAM decomposed rel-pos attention             -> models/sam.py:_attn_rel
+  * T5 relative-position buckets + encoder/decoder -> models/t5.py
+  * CLIP residual-attention block                -> models/clip_text.py
+  * HF BERT full encoder                         -> models/bert.py
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from tbist_tpu.models import bert as bert_lib  # noqa: E402
+from tbist_tpu.models import clip_text  # noqa: E402
+from tbist_tpu.models import dino as dino_lib  # noqa: E402
+from tbist_tpu.models import sam as sam_lib  # noqa: E402
+from tbist_tpu.models import swin as swin_lib  # noqa: E402
+from tbist_tpu.models import t5 as t5_lib  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _exact_matmuls():
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
+def _t(x):
+    return torch.from_numpy(np.array(x, np.float32))
+
+
+def _j(x):
+    return jnp.asarray(np.asarray(x.detach() if hasattr(x, "detach") else x, np.float32))
+
+
+class TestDinoMHA:
+    """dino._mha consumes torch nn.MultiheadAttention weights via
+    dino_convert's lin_w (= .T) — prove self/cross/biased outputs match."""
+
+    D, HEADS = 32, 4
+
+    def _params(self, mha):
+        return {
+            "in_proj_w": _j(mha.in_proj_weight).T,
+            "in_proj_b": _j(mha.in_proj_bias),
+            "out_proj_w": _j(mha.out_proj.weight).T,
+            "out_proj_b": _j(mha.out_proj.bias),
+        }
+
+    def test_self_attention(self):
+        torch.manual_seed(0)
+        mha = torch.nn.MultiheadAttention(self.D, self.HEADS, batch_first=True)
+        x = torch.randn(2, 6, self.D)
+        want, _ = mha(x, x, x, need_weights=False)
+        got = dino_lib._mha(_j(x), _j(x), _j(x), self._params(mha), self.HEADS)
+        np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=2e-5)
+
+    def test_cross_attention(self):
+        torch.manual_seed(1)
+        mha = torch.nn.MultiheadAttention(self.D, self.HEADS, batch_first=True)
+        q, kv = torch.randn(2, 5, self.D), torch.randn(2, 9, self.D)
+        want, _ = mha(q, kv, kv, need_weights=False)
+        got = dino_lib._mha(_j(q), _j(kv), _j(kv), self._params(mha), self.HEADS)
+        np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=2e-5)
+
+    def test_additive_bias(self):
+        torch.manual_seed(2)
+        mha = torch.nn.MultiheadAttention(self.D, self.HEADS, batch_first=True)
+        x = torch.randn(2, 6, self.D)
+        bias = torch.randn(6, 6)
+        want, _ = mha(x, x, x, attn_mask=bias, need_weights=False)
+        got = dino_lib._mha(
+            _j(x), _j(x), _j(x), self._params(mha), self.HEADS, bias=_j(bias)
+        )
+        np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=2e-5)
+
+
+def _torch_swin_window_attention(x, qkv, proj, table, window, heads, mask=None):
+    """Official Swin WindowAttention forward (microsoft/Swin-Transformer
+    models/swin_transformer.py) on explicit weights."""
+    B_, N, C = x.shape
+    h = (
+        (x @ qkv.weight.T + qkv.bias)
+        .reshape(B_, N, 3, heads, C // heads)
+        .permute(2, 0, 3, 1, 4)
+    )
+    q, k, v = h[0], h[1], h[2]
+    q = q * (C // heads) ** -0.5
+    attn = q @ k.transpose(-2, -1)
+    coords = torch.stack(
+        torch.meshgrid(torch.arange(window), torch.arange(window), indexing="ij")
+    )
+    cf = torch.flatten(coords, 1)
+    rel = (cf[:, :, None] - cf[:, None, :]).permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    index = rel.sum(-1)
+    bias = table[index.view(-1)].view(N, N, -1).permute(2, 0, 1).contiguous()
+    attn = attn + bias.unsqueeze(0)
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.view(B_ // nW, nW, heads, N, N) + mask.unsqueeze(1).unsqueeze(0)
+        attn = attn.view(-1, heads, N, N)
+    attn = attn.softmax(dim=-1)
+    out = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+    return out @ proj.weight.T + proj.bias
+
+
+class TestSwinWindowAttention:
+    DIM, WINDOW, HEADS = 24, 7, 3
+
+    def _modules(self, seed):
+        torch.manual_seed(seed)
+        qkv = torch.nn.Linear(self.DIM, 3 * self.DIM)
+        proj = torch.nn.Linear(self.DIM, self.DIM)
+        table = torch.randn((2 * self.WINDOW - 1) ** 2, self.HEADS)
+        p = {
+            "qkv_w": _j(qkv.weight).T,
+            "qkv_b": _j(qkv.bias),
+            "proj_w": _j(proj.weight).T,
+            "proj_b": _j(proj.bias),
+            "rel_bias_table": _j(table),
+        }
+        return qkv, proj, table, p
+
+    def test_plain_window(self):
+        qkv, proj, table, p = self._modules(3)
+        x = torch.randn(8, self.WINDOW**2, self.DIM)
+        with torch.no_grad():
+            want = _torch_swin_window_attention(
+                x, qkv, proj, table, self.WINDOW, self.HEADS
+            )
+        got = swin_lib._window_attention(_j(x), p, self.HEADS, self.WINDOW)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+    def test_shifted_window_mask(self):
+        qkv, proj, table, p = self._modules(4)
+        mask = swin_lib._shift_mask(14, 14, self.WINDOW, 3)  # (4, 49, 49)
+        nW = mask.shape[0]
+        x = torch.randn(2 * nW, self.WINDOW**2, self.DIM)
+        with torch.no_grad():
+            want = _torch_swin_window_attention(
+                x, qkv, proj, table, self.WINDOW, self.HEADS, mask=_t(np.asarray(mask))
+            )
+        got = swin_lib._window_attention(_j(x), p, self.HEADS, self.WINDOW, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+class TestBilinearSampleVsGridSample:
+    def test_matches_grid_sample_zeros_padding(self):
+        rng = np.random.default_rng(0)
+        n, h, w, d, pts = 3, 9, 13, 5, 64
+        value = rng.standard_normal((n, h, w, d)).astype(np.float32)
+        # include out-of-bounds and exact-edge locations
+        locs = rng.uniform(-0.25, 1.25, size=(n, pts, 2)).astype(np.float32)
+        locs[:, 0] = [0.0, 0.0]
+        locs[:, 1] = [1.0, 1.0]
+        locs[:, 2] = [0.5, 0.5]
+
+        got = dino_lib._bilinear_sample(jnp.asarray(value), jnp.asarray(locs))
+
+        inp = torch.from_numpy(value).permute(0, 3, 1, 2)  # (N, D, H, W)
+        grid = torch.from_numpy(locs * 2.0 - 1.0).unsqueeze(1)  # (N, 1, P, 2)
+        want = F.grid_sample(
+            inp, grid, mode="bilinear", padding_mode="zeros", align_corners=False
+        )[:, :, 0].permute(0, 2, 1)  # (N, P, D)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5)
+
+
+def _torch_sam_attn_rel(x, qkv_w, qkv_b, proj_w, proj_b, rel_h, rel_w, heads):
+    """Official SAM Attention + add_decomposed_rel_pos
+    (facebookresearch/segment-anything modeling/image_encoder.py)."""
+    B, H, W, C = x.shape
+    qkv = (
+        (x.reshape(B, H * W, C) @ qkv_w.T + qkv_b)
+        .reshape(B, H * W, 3, heads, -1)
+        .permute(2, 0, 3, 1, 4)
+        .reshape(3, B * heads, H * W, -1)
+    )
+    q, k, v = qkv.unbind(0)
+    scale = (C // heads) ** -0.5
+    attn = (q * scale) @ k.transpose(-2, -1)
+    idx_h = torch.arange(H)[:, None] - torch.arange(H)[None, :] + (H - 1)
+    idx_w = torch.arange(W)[:, None] - torch.arange(W)[None, :] + (W - 1)
+    Rh, Rw = rel_h[idx_h], rel_w[idx_w]
+    r_q = q.reshape(B * heads, H, W, -1)
+    rel_h_t = torch.einsum("bhwc,hkc->bhwk", r_q, Rh)
+    rel_w_t = torch.einsum("bhwc,wkc->bhwk", r_q, Rw)
+    attn = (
+        attn.view(B * heads, H, W, H, W)
+        + rel_h_t[:, :, :, :, None]
+        + rel_w_t[:, :, :, None, :]
+    ).view(B * heads, H * W, H * W)
+    attn = attn.softmax(dim=-1)
+    out = (
+        (attn @ v)
+        .view(B, heads, H, W, -1)
+        .permute(0, 2, 3, 1, 4)
+        .reshape(B, H, W, C)
+    )
+    return out @ proj_w.T + proj_b
+
+
+class TestSamDecomposedRelPos:
+    def test_window_attention(self):
+        torch.manual_seed(5)
+        dim, heads, win, b = 16, 4, 7, 2
+        qkv = torch.nn.Linear(dim, 3 * dim)
+        proj = torch.nn.Linear(dim, dim)
+        rel_h = torch.randn(2 * win - 1, dim // heads)
+        rel_w = torch.randn(2 * win - 1, dim // heads)
+        x = torch.randn(b, win, win, dim)
+        with torch.no_grad():
+            want = _torch_sam_attn_rel(
+                x, qkv.weight, qkv.bias, proj.weight, proj.bias, rel_h, rel_w, heads
+            )
+        p = {
+            "qkv_w": _j(qkv.weight).T,
+            "qkv_b": _j(qkv.bias),
+            "proj_w": _j(proj.weight).T,
+            "proj_b": _j(proj.bias),
+            "rel_pos_h": _j(rel_h),
+            "rel_pos_w": _j(rel_w),
+        }
+        got = sam_lib._attn_rel(_j(x), p, heads, (win, win))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+class TestT5Parity:
+    TINY_KW = dict(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=48, num_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        decoder_start_token_id=0, dropout_rate=0.0,
+    )
+
+    def _tiny(self):
+        transformers = pytest.importorskip("transformers")
+        torch.manual_seed(6)
+        hf = transformers.T5ForConditionalGeneration(
+            transformers.T5Config(**self.TINY_KW)
+        ).eval()
+        cfg = t5_lib.T5Config(
+            vocab=64, d_model=32, d_ff=48, heads=4, d_kv=8, layers=2,
+            rel_buckets=8, rel_distance=20,
+        )
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+        params = t5_lib.convert_hf_state_dict(sd, cfg)
+        return hf, cfg, params
+
+    def test_relative_position_buckets(self):
+        from transformers.models.t5.modeling_t5 import T5Attention
+
+        rel = np.arange(-300, 301, dtype=np.int64)
+        for bidir, buckets, dist in [(True, 32, 128), (False, 32, 128), (True, 8, 20)]:
+            want = T5Attention._relative_position_bucket(
+                torch.from_numpy(rel), bidirectional=bidir,
+                num_buckets=buckets, max_distance=dist,
+            ).numpy()
+            got = np.asarray(
+                t5_lib._rel_bucket(jnp.asarray(rel), bidir, buckets, dist)
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"bidir={bidir}")
+
+    def test_encoder_parity(self):
+        hf, cfg, params = self._tiny()
+        rng = np.random.default_rng(1)
+        ids = rng.integers(2, 64, size=(2, 7))
+        mask = np.ones((2, 7), np.int64)
+        mask[1, 5:] = 0
+        with torch.no_grad():
+            want = hf.encoder(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+            ).last_hidden_state.numpy()
+        got = np.asarray(
+            t5_lib.encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        )
+        # masked-out positions attend differently (HF uses -inf, we use -1e9
+        # and they never feed the loss) — compare valid positions
+        np.testing.assert_allclose(got[0], want[0], atol=1e-4)
+        np.testing.assert_allclose(got[1, :5], want[1, :5], atol=1e-4)
+
+    def test_decoder_step_logits_parity(self):
+        """Teacher-forced step-by-step cached decode == HF full forward."""
+        hf, cfg, params = self._tiny()
+        rng = np.random.default_rng(2)
+        ids = rng.integers(2, 64, size=(1, 6))
+        mask = np.ones((1, 6), np.int64)
+        dec_ids = np.concatenate(
+            [[[0]], rng.integers(2, 64, size=(1, 4))], axis=1
+        )  # starts with decoder_start_token_id
+        with torch.no_grad():
+            want = hf(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                decoder_input_ids=torch.from_numpy(dec_ids),
+            ).logits.numpy()  # (1, 5, vocab)
+
+        enc_out = t5_lib.encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        t = dec_ids.shape[1]
+        cache = t5_lib.DecodeCache(
+            k=jnp.zeros((cfg.layers, 1, cfg.heads, t, cfg.d_kv), jnp.float32),
+            v=jnp.zeros((cfg.layers, 1, cfg.heads, t, cfg.d_kv), jnp.float32),
+        )
+        for pos in range(t):
+            logits, cache = t5_lib._decoder_step(
+                params, cfg, jnp.asarray(dec_ids[:, pos], jnp.int32),
+                jnp.asarray(pos, jnp.int32), cache, enc_out,
+                jnp.asarray(mask, jnp.float32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits), want[:, pos], atol=1e-4, err_msg=f"pos={pos}"
+            )
+
+
+class TestClipAttention:
+    def test_residual_attention_vs_torch_mha(self):
+        torch.manual_seed(7)
+        d, heads, t, b = 64, clip_text.HEADS, 10, 2
+        mha = torch.nn.MultiheadAttention(d, heads, batch_first=True)
+        x = torch.randn(b, t, d)
+        causal = torch.full((t, t), float("-inf")).triu(1)
+        with torch.no_grad():
+            want, _ = mha(x, x, x, attn_mask=causal, need_weights=False)
+        p = {
+            "in_proj_w": _j(mha.in_proj_weight),
+            "in_proj_b": _j(mha.in_proj_bias),
+            "out_proj_w": _j(mha.out_proj.weight),
+            "out_proj_b": _j(mha.out_proj.bias),
+        }
+        jmask = jnp.triu(jnp.full((t, t), -jnp.inf), k=1)
+        got = clip_text._attention(_j(x), p, jmask)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+class TestBertParity:
+    def test_full_encoder_vs_hf(self):
+        transformers = pytest.importorskip("transformers")
+        torch.manual_seed(8)
+        hf_cfg = transformers.BertConfig(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=48,
+            max_position_embeddings=24, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        hf = transformers.BertModel(hf_cfg).eval()
+        cfg = bert_lib.BertConfig(
+            vocab=96, hidden=32, layers=2, heads=4, ffn=48, max_pos=24
+        )
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+        params = bert_lib.convert_hf_state_dict(sd, prefix="", cfg=cfg)
+
+        rng = np.random.default_rng(3)
+        ids = rng.integers(5, 96, size=(2, 9))
+        mask = np.ones((2, 9), np.int64)
+        mask[1, 7:] = 0
+        with torch.no_grad():
+            want = hf(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+            ).last_hidden_state.numpy()
+        got = np.asarray(
+            bert_lib.forward(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask, jnp.float32)
+            )
+        )
+        np.testing.assert_allclose(got[0], want[0], atol=1e-4)
+        np.testing.assert_allclose(got[1, :7], want[1, :7], atol=1e-4)
