@@ -58,11 +58,12 @@ def gram_matrix(x: jnp.ndarray) -> jnp.ndarray:
     """Normalized Gram matrix of NHWC features -> (B, C, C).
 
     Matches the reference normalization by ``b*c*h*w``
-    (style_transfer_losses.py:70-95). On TPU with lane-aligned channels
-    this dispatches to the Pallas kernel (ops.pallas_gram: tiled VMEM
-    accumulation + fused normalization + analytic VJP); elsewhere it is a
-    single MXU einsum with fp32 accumulation. Disable the kernel with
-    ``TBIST_PALLAS_GRAM=0``.
+    (style_transfer_losses.py:70-95). Default path is a single MXU einsum
+    with fp32 accumulation — XLA fuses it into the surrounding loss graph
+    better than the standalone Pallas kernel (see benchmark note above).
+    Set ``TBIST_PALLAS_GRAM=1`` to opt in to the Pallas kernel
+    (ops.pallas_gram: tiled VMEM accumulation + fused normalization +
+    analytic VJP) on lane-aligned channel counts.
     """
     if _USE_PALLAS_GRAM:
         from tbist_tpu.ops import pallas_gram

@@ -11,9 +11,11 @@ and backward. This kernel:
 * defines the analytic VJP ``dX = X (Ḡ + Ḡᵀ) / n`` as a second tiled
   kernel, so the backward pass never materializes intermediate grams.
 
-Used on the TPU backend when channel counts are lane-aligned; other
-backends (CPU tests) fall back to the XLA einsum — same math, verified
-against each other in tests/test_pallas.py.
+Opt-in via ``TBIST_PALLAS_GRAM=1`` (requires TPU + lane-aligned channel
+counts): in the full 512px Gatys loop XLA's fused einsum beats this
+standalone kernel (56 vs 43 iters/s on v5e), so the einsum is the default.
+Numerical parity vs the einsum is tested in
+tests/test_aux.py::TestPallasGramParity.
 """
 
 from __future__ import annotations

@@ -3,8 +3,11 @@
 The reference has no training and its 400-step optimization is not
 resumable (SURVEY §5 checkpoint/resume). Here any long run can be chunked:
 ``stylize_resumable`` executes the jitted loop in segments and persists
-``(pixels, L-BFGS state, step)`` with orbax between segments, so a
-preempted job (or a UI "continue refining" button) resumes exactly.
+``(pixels, step)`` with orbax between segments, so a preempted job (or a
+UI "continue refining" button) resumes from the checkpointed pixels.
+L-BFGS curvature history deliberately restarts per segment (bounded
+memory; the history rebuilds within a few iterations) — ``save_state``
+accepts an ``opt_state`` slot for callers that want to persist it.
 """
 
 from __future__ import annotations
@@ -79,16 +82,23 @@ def stylize_resumable(
         logger.info("resuming optimization at step %d", start)
     else:
         start = 0
-        img = content.astype(jnp.float32)
+        if cfg.random_init:
+            img = jax.random.normal(
+                jax.random.key(cfg.seed), content.shape, jnp.float32
+            )
+        else:
+            img = content.astype(jnp.float32)
 
     history = []
-    seg_cfg = dataclasses.replace(cfg, num_steps=segment_steps, random_init=False)
     step = start
     while step < cfg.num_steps:
         # content/style targets stay anchored to the ORIGINAL content;
-        # only the starting pixels come from the checkpoint.
+        # only the starting pixels come from the checkpoint. Clamp the last
+        # segment so the total never overshoots cfg.num_steps.
+        remaining = min(segment_steps, cfg.num_steps - step)
+        seg_cfg = dataclasses.replace(cfg, num_steps=remaining, random_init=False)
         img, hist = gatys.stylize(content, styles, seg_cfg, vgg_params, init=img)
-        step += segment_steps
+        step += remaining
         history.extend(float(x) for x in jax.device_get(hist))
         save_state(ckpt_path, img, None, step)
         logger.info("checkpointed optimization at step %d", step)

@@ -56,6 +56,10 @@ def write_video(frames: List[np.ndarray], fps: float, out_path: str) -> str:
         out = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
         if out.isOpened():
             break
+    if not out.isOpened():
+        raise RuntimeError(
+            f"no usable mp4 codec (tried avc1, mp4v) for {out_path}"
+        )
     for f in frames:
         out.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
     out.release()

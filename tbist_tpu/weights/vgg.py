@@ -96,6 +96,17 @@ def _try_torch_pth() -> Optional[vgg19.Params]:
 @lru_cache(maxsize=1)
 def get_params(seed: int = 0) -> vgg19.Params:
     """Resolve VGG-19 params (see module docstring for the search order)."""
+    # An explicitly set TBIST_VGG19_PTH wins over a stale npz cache: only
+    # reuse the cache if it is at least as new as the .pth it came from.
+    env_pth = os.environ.get("TBIST_VGG19_PTH", "")
+    if env_pth and os.path.exists(env_pth):
+        npz = _npz_path()
+        stale = not os.path.exists(npz) or os.path.getmtime(npz) < os.path.getmtime(env_pth)
+        if stale:
+            converted = _try_torch_pth()
+            if converted is not None:
+                logger.info("VGG-19: converted torchvision checkpoint (env override)")
+                return converted
     cached = _load_npz(_npz_path())
     if cached is not None:
         logger.info("VGG-19: loaded converted ImageNet weights from cache")

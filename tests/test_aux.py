@@ -50,6 +50,37 @@ class TestCheckpointResume:
             assert len(hist) == 2  # only the remaining segment ran
             assert ckpt.latest_step(path) == 4
 
+    def test_no_overshoot_on_uneven_segments(self):
+        """num_steps not a multiple of segment_steps must run exactly
+        num_steps iterations (ADVICE r1: 250/100 used to run 300)."""
+        cfg = GatysConfig(num_steps=5, w_style=1e3)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "run")
+            _, hist = ckpt.stylize_resumable(
+                CONTENT, [STYLE], cfg, PARAMS, path, segment_steps=3
+            )
+            assert len(hist) == 5
+            assert ckpt.latest_step(path) == 5
+
+    def test_random_init_honored_on_fresh_start(self):
+        """cfg.random_init must seed the first segment from noise, matching
+        a single unsegmented run (ADVICE r1: it was silently ignored)."""
+        cfg = GatysConfig(num_steps=2, w_style=1e3, random_init=True)
+        direct, _ = gatys.stylize(CONTENT, [STYLE], cfg, PARAMS)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "run")
+            seg, _ = ckpt.stylize_resumable(
+                CONTENT, [STYLE], cfg, PARAMS, path, segment_steps=2
+            )
+        np.testing.assert_allclose(
+            np.asarray(direct), np.asarray(seg), atol=1e-6
+        )
+        # and it is genuinely different from a content-seeded run
+        plain = gatys.stylize(
+            CONTENT, [STYLE], GatysConfig(num_steps=2, w_style=1e3), PARAMS
+        )[0]
+        assert not np.allclose(np.asarray(direct), np.asarray(plain), atol=1e-3)
+
 
 class TestPallasGramParity:
     def test_matches_xla_in_interpret_mode(self):
@@ -163,3 +194,46 @@ class TestConverters:
         )
         got = np.asarray(feats["conv1_1"]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_vgg_env_pth_beats_stale_npz_cache(self, tmp_path, monkeypatch):
+        """ADVICE r1: an explicit TBIST_VGG19_PTH must win over a stale
+        converted-cache npz."""
+        import torch
+
+        from tbist_tpu.weights import vgg as vgg_weights
+
+        torch.manual_seed(2)
+        idx_ch = [(0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
+                  (10, 128, 256), (12, 256, 256), (14, 256, 256), (16, 256, 256),
+                  (19, 256, 512), (21, 512, 512), (23, 512, 512), (25, 512, 512),
+                  (28, 512, 512), (30, 512, 512), (32, 512, 512), (34, 512, 512)]
+        sd = {}
+        for i, cin, cout in idx_ch:
+            sd[f"features.{i}.weight"] = torch.randn(cout, cin, 3, 3) * 0.01
+            sd[f"features.{i}.bias"] = torch.zeros(cout)
+        pth = tmp_path / "vgg19.pth"
+        torch.save(sd, pth)
+
+        # a stale npz cache holding DIFFERENT (zero) weights, older than pth
+        fake = vgg_weights.convert_torch_state_dict(
+            {k: np.zeros_like(v.numpy()) for k, v in sd.items()}
+        )
+        flat = {}
+        for name, p in fake.items():
+            flat[f"{name}.kernel"] = p["kernel"]
+            flat[f"{name}.bias"] = p["bias"]
+        npz = tmp_path / "vgg19.npz"
+        np.savez(npz, **flat)
+        os.utime(npz, (0, 0))  # stale
+
+        monkeypatch.setattr(vgg_weights, "_CACHE_DIR", str(tmp_path))
+        monkeypatch.setenv("TBIST_VGG19_PTH", str(pth))
+        vgg_weights.get_params.cache_clear()
+        try:
+            params = vgg_weights.get_params()
+            want = np.transpose(sd["features.0.weight"].numpy(), (2, 3, 1, 0))
+            np.testing.assert_allclose(
+                np.asarray(params["conv1_1"]["kernel"]), want, atol=1e-6
+            )
+        finally:
+            vgg_weights.get_params.cache_clear()
