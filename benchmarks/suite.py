@@ -1,12 +1,17 @@
 """Extended benchmark suite — the SURVEY §6 metric table.
 
 Measures on the current JAX backend (TPU under axon; CPU elsewhere):
-  1. Gatys 512px LBFGS iterations/sec (headline — also in bench.py)
+  1. Gatys LBFGS iterations/sec at 512 / 1024 / 2048 px (headline is the
+     512px number, also in bench.py) with an analytic MFU column
   2. FastTextTransfer feed-forward 512px latency (Ghiasi + CLIP-MLP)
-  3. Mask-extraction latency (DINO+SAM when weights exist, else fallback)
-  4. Batched video stylization throughput (frames/sec, dp-batched)
-  5. Emoji-mask merge latency (device scatter-add vs the reference's
-     pure-Python loops measured inline)
+  3. Mask-extraction latency — the metric NAME says which extractor
+     resolved (``mask_extraction_ms_fallback`` vs ``_dino_sam``), and the
+     real seeded DINO+SAM chain is ALWAYS benched as its own metric
+  4. Batched stylization throughput: 8x256px video frames AND 8x512px
+     images (frames/sec, dp-batched)
+  5. Emoji-mask merge latency (device program vs the reference's
+     pure-Python loops)
+  6. MIP depth layers: one batched run vs n sequential runs (wall-clock)
 
 With ``--models``, also measures the heavy model-family forwards with
 seeded weights (SAM, GroundingDINO, Depth-Anything, T5, Ghiasi) —
@@ -28,6 +33,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _timeit(fn, warmup=1, iters=5):
@@ -106,12 +112,36 @@ def main(quick: bool = False, models: bool = False):
     content = jax.random.uniform(jax.random.key(1), (1, 512, 512, 3), jnp.float32)
     style = jax.random.uniform(jax.random.key(2), (1, 512, 512, 3), jnp.float32)
 
-    # 1. Gatys iters/sec
+    # 1. Gatys iters/sec at 512 / 1024 / 2048 px, with analytic MFU.
+    # MFU basis: fwd+~2x-bwd conv FLOPs of the style trunk (through
+    # conv5_1) against the 197 TFLOP/s v5e bf16 MXU pass (XLA's default
+    # precision computes f32 convs via bf16 passes — benchmarks/PROFILE.md).
+    from profile_gatys import _vgg_flops_per_image
+
     steps = 100 if quick else 400
+    on_tpu = jax.default_backend() not in ("cpu",)
+    sizes = [512] if quick or not on_tpu else [512, 1024, 2048]
+    for size in sizes:
+        import dataclasses
+
+        c = jax.random.uniform(jax.random.key(1), (1, size, size, 3), jnp.float32)
+        s = jax.random.uniform(jax.random.key(2), (1, size, size, 3), jnp.float32)
+        sz_steps = steps if size == 512 else max(20, steps // (size // 512) ** 2)
+        cfg = dataclasses.replace(
+            GatysConfig(num_steps=sz_steps), max_side=max(1024, size)
+        )
+        try:
+            dt = _timeit(lambda: gatys.stylize(c, [s], cfg, vgg_params)[1],
+                         warmup=1, iters=1)
+        except Exception as e:  # e.g. HBM OOM at large sizes
+            results[f"gatys_{size}px_iters_per_sec"] = None
+            print(json.dumps({"metric": f"gatys_{size}px", "error": str(e)[:120]}))
+            continue
+        it_s = sz_steps / dt
+        results[f"gatys_{size}px_iters_per_sec"] = it_s
+        flops = 3.0 * _vgg_flops_per_image(size, size, cfg.style_layers)
+        results[f"gatys_{size}px_mfu_pct"] = 100.0 * flops * it_s / 197e12
     cfg = GatysConfig(num_steps=steps)
-    dt = _timeit(lambda: gatys.stylize(content, [style], cfg, vgg_params)[1],
-                 warmup=1, iters=1)
-    results["gatys_512px_iters_per_sec"] = steps / dt
 
     # 2. feed-forward text stylization latency
     g_params, m_params = text_transfer.default_params()
@@ -122,14 +152,52 @@ def main(quick: bool = False, models: bool = False):
     )
     results["fast_text_transfer_512px_ms"] = dt * 1e3
 
-    # 3. mask extraction latency (whatever extractor resolves)
+    # 3a. mask extraction latency — metric name states WHICH extractor
+    # resolved, so a reader can never mistake the heuristic fallback for
+    # the DINO+SAM chain (VERDICT r1 weak #2)
     from tbist_tpu.effects import masking
 
     extractor = masking.default_mask_extractor()
+    resolved = (
+        "fallback" if extractor is masking._fallback_location_mask else "dino_sam"
+    )
     dt = _timeit(lambda: extractor(content, "boat"), warmup=1, iters=3)
-    results["mask_extraction_ms"] = dt * 1e3
+    results[f"mask_extraction_ms_{resolved}"] = dt * 1e3
 
-    # 4. batched video throughput (8 frames, 100 steps)
+    # 3b. the REAL DINO+SAM chain with seeded weights, always benched:
+    # tokenize -> resize/normalize -> GroundingDINO forward -> thresholds
+    # -> SAM encoder+decoder on one box (compute identical to the
+    # weights-loaded path; only the numbers in the weights differ)
+    if not quick:
+        from tbist_tpu.models import dino as dino_lib
+        from tbist_tpu.models import dino_sam, sam as sam_lib
+
+        dino_params = dino_lib.init_params(key)
+        sam_params = sam_lib.init_params(key, sam_lib.BASE)
+        vocab = {"[CLS]": 101, "[SEP]": 102, "[UNK]": 100, "boat": 4049, ".": 1012}
+        rng = np.random.default_rng(0)
+        raw = (rng.random((512, 512, 3)) * 255).astype(np.uint8)
+
+        def dino_sam_chain():
+            ids = dino_sam._simple_bert_tokenize("boat.", vocab)
+            input_ids = jnp.asarray([ids], jnp.int32)
+            tmask = jnp.ones_like(input_ids)
+            nh, nw = dino_sam._detection_size(512, 512)
+            x = jnp.asarray(raw, jnp.float32)[None] / 255.0
+            x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
+            x = (x - dino_sam.IMAGENET_MEAN) / dino_sam.IMAGENET_STD
+            out = dino_sam._dino_jit(dino_params, dino_lib.BASE, x, input_ids, tmask)
+            np.asarray(out["pred_boxes"])  # host sync as in detect()
+            boxes = np.asarray([[100.0, 100.0, 400.0, 380.0]], np.float32)
+            return jnp.asarray(
+                sam_lib.predict_boxes(sam_params, sam_lib.BASE, raw, boxes)
+            )
+
+        dt = _timeit(dino_sam_chain, warmup=1, iters=3)
+        results["mask_extraction_ms_seeded_dino_sam"] = dt * 1e3
+        del dino_params, sam_params
+
+    # 4. batched throughput: video frames at 256px and images at 512px
     frames = jax.random.uniform(jax.random.key(3), (8, 256, 256, 3), jnp.float32)
     vcfg = GatysConfig(num_steps=20 if quick else 100)
 
@@ -138,6 +206,14 @@ def main(quick: bool = False, models: bool = False):
 
     dt = _timeit(video_run, warmup=1, iters=1)
     results["video_frames_per_sec_256px"] = 8 / dt
+
+    if not quick:
+        big = jax.random.uniform(jax.random.key(5), (8, 512, 512, 3), jnp.float32)
+        bcfg = GatysConfig(num_steps=100)
+        dt = _timeit(lambda: batched.run(bcfg, vgg_params, big, (style,)),
+                     warmup=1, iters=1)
+        results["batch8_512px_frames_per_sec"] = 8 / dt
+        results["batch8_512px_iters_per_sec_per_frame"] = bcfg.num_steps / dt
 
     # 5. emoji merge latency (512px mask, 172px stencil)
     seg = jnp.zeros((512, 512), bool).at[128:384, 128:384].set(True)
@@ -148,6 +224,31 @@ def main(quick: bool = False, models: bool = False):
     )
     results["emoji_merge_512px_ms"] = dt * 1e3
 
+    # 6. MIP depth layers: one batched optimization vs n sequential runs
+    if not quick:
+        from tbist_tpu.effects import depth as depth_fx
+
+        mip_img = jax.random.uniform(jax.random.key(6), (1, 256, 256, 3), jnp.float32)
+        mip_style = jax.random.uniform(jax.random.key(7), (1, 256, 256, 3), jnp.float32)
+        mcfg = GatysConfig(num_steps=50)
+        est = depth_fx._fallback_depth
+        n_layers = 4
+        dt_b = _timeit(
+            lambda: depth_fx.style_mip(
+                mip_img, mip_style, n_layers, mcfg, est, vgg_params, batched=True
+            ),
+            warmup=1, iters=1,
+        )
+        dt_s = _timeit(
+            lambda: depth_fx.style_mip(
+                mip_img, mip_style, n_layers, mcfg, est, vgg_params, batched=False
+            ),
+            warmup=1, iters=1,
+        )
+        results["mip4_256px_batched_s"] = dt_b
+        results["mip4_256px_sequential_s"] = dt_s
+        results["mip4_speedup_x"] = dt_s / dt_b
+
     if models:
         _model_metrics(results)
 
@@ -155,7 +256,7 @@ def main(quick: bool = False, models: bool = False):
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     for k, v in results.items():
-        print(json.dumps({"metric": k, "value": round(v, 3)}))
+        print(json.dumps({"metric": k, "value": round(v, 3) if v is not None else None}))
 
 
 if __name__ == "__main__":

@@ -144,6 +144,8 @@ def main(argv=None) -> int:
         if path is None:
             logger.error("video processing returned None (missing inputs?)")
             return 1
+        if metrics.degraded:
+            logger.warning("degraded components: %s", ", ".join(metrics.degraded))
         logger.info("wrote %s", path)
     else:
         out = api.apply_image(
@@ -157,6 +159,8 @@ def main(argv=None) -> int:
             logger.error("image processing returned None (missing inputs?)")
             return 1
         out.save(args.out)
+        if metrics.degraded:
+            logger.warning("degraded components: %s", ", ".join(metrics.degraded))
         logger.info("wrote %s (timings: %s)", args.out, metrics.timings_s)
     return 0
 

@@ -139,17 +139,8 @@ def _masked_apply(
     return effect_fn(current)
 
 
-def apply_image(
-    image: jnp.ndarray,
-    req: EffectRequest,
-    inputs: Optional[EffectInputs] = None,
-    registry: Optional[ModelRegistry] = None,
-    metrics: Optional[RunMetrics] = None,
-) -> Optional[jnp.ndarray]:
-    """Run the effect chain on an NHWC [0,1] image. None on invalid input,
-    matching the reference's contract (SURVEY §5 failure handling)."""
-    inputs = inputs or EffectInputs()
-    registry = registry or ModelRegistry()
+def needed_components(req: EffectRequest) -> list:
+    """ModelRegistry fields a request will exercise."""
     needed = []
     if req.style_transfer or req.style_mixing or req.depth is not None:
         needed.append("vgg_params")
@@ -162,9 +153,44 @@ def apply_image(
             needed.append("emoji_extractor")
     if req.depth is not None:
         needed.append("depth_estimator")
+    return needed
+
+
+def apply_image(
+    image: jnp.ndarray,
+    req: EffectRequest,
+    inputs: Optional[EffectInputs] = None,
+    registry: Optional[ModelRegistry] = None,
+    metrics: Optional[RunMetrics] = None,
+) -> Optional[jnp.ndarray]:
+    """Run the effect chain on an NHWC [0,1] image. None on invalid input,
+    matching the reference's contract (SURVEY §5 failure handling)."""
+    inputs = inputs or EffectInputs()
+    registry = registry or ModelRegistry()
+    needed = needed_components(req)
     registry.ensure(*needed)
     metrics = metrics if metrics is not None else RunMetrics()
+    try:
+        return _apply_stages(image, req, inputs, registry, metrics)
+    finally:
+        # Surface fallback/seeded components for this request. Collected
+        # after the stages ran because some loaders (CLIP text encoder,
+        # Ghiasi params) resolve lazily inside the effect call.
+        from tbist_tpu.utils import degraded as _degraded
 
+        flags = _degraded.flags_for(needed)
+        if flags:
+            metrics.degraded = sorted(set(metrics.degraded) | set(flags))
+
+
+def _apply_stages(
+    image: jnp.ndarray,
+    req: EffectRequest,
+    inputs: EffectInputs,
+    registry: ModelRegistry,
+    metrics: RunMetrics,
+) -> Optional[jnp.ndarray]:
+    """The seven ordered effect stages (reference app.py:157-735)."""
     original = image
     output = image
     state = _TextState()

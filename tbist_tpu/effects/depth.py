@@ -48,6 +48,9 @@ def default_depth_estimator() -> Callable:
 
         return depth_anything.get_depth_estimator()
     except Exception:
+        from tbist_tpu.utils import degraded
+
+        degraded.mark("depth_estimator", "depth_fallback")
         logger.warning(
             "depth estimator: no Depth-Anything weights — using smoothed-"
             "luminance pseudo-depth fallback"
@@ -80,19 +83,61 @@ def style_mip(
     depth_estimator: Callable,
     vgg_params=None,
     metrics: Optional[RunMetrics] = None,
+    batched: bool = True,
 ) -> jnp.ndarray:
-    """Multi-plane-image stylization (style_transfer_depth.py:74-90)."""
+    """Multi-plane-image stylization (style_transfer_depth.py:74-90).
+
+    The reference runs a FULL 400-step optimization per depth layer,
+    sequentially (n x latency, SURVEY §3.4). Here the n layers are one
+    dp-batched optimization (parallel.batched) whose per-layer strengths
+    1 - i/n enter as a traced (n,) weight vector — wall-clock of ~one run
+    and one compiled program regardless of n. ``batched=False`` keeps the
+    sequential path for parity testing.
+    """
+    import time
+
     depth = depth_estimator(image)
     layers = mip_ops.generate_layers(image, depth, n)  # (n, H, W, C)
-    stylized = []
-    for i in range(n):
-        strength = 1.0 - i / n
-        out = style_fx.style_transfer(
-            layers[i][None], [style], gcfg, vgg_params,
-            strength=strength, metrics=metrics,
-        )
-        stylized.append(out[0])
-    final = mip_ops.reconstruct(jnp.stack(stylized), depth, n)
+    strengths = [1.0 - i / n for i in range(n)]
+    if not batched:
+        stylized = []
+        for i in range(n):
+            out = style_fx.style_transfer(
+                layers[i][None], [style], gcfg, vgg_params,
+                strength=strengths[i], metrics=metrics,
+            )
+            stylized.append(out[0])
+        final = mip_ops.reconstruct(jnp.stack(stylized), depth, n)
+        return final[None]
+
+    from tbist_tpu.optimize import gatys as gatys_lib
+    from tbist_tpu.parallel import batched as batched_lib
+
+    if vgg_params is None:
+        from tbist_tpu.weights import vgg as vgg_weights
+
+        vgg_params = vgg_weights.get_params()
+    # same rule as the sequential wrapper (style.style_transfer): strength
+    # 1.0 keeps cfg.w_style; other strengths map through the reference's
+    # exponential curve (Style_a3.py:184-188)
+    w_style = jnp.asarray(
+        [
+            gcfg.w_style if s == 1.0 else gatys_lib.style_weight_from_strength(s)
+            for s in strengths
+        ],
+        jnp.float32,
+    )
+    layers_b = style_fx._bucket(layers, gcfg)
+    style_b = style_fx._bucket(style, gcfg)
+    t0 = time.perf_counter()
+    stylized = batched_lib.run(gcfg, vgg_params, layers_b, (style_b,), w_style=w_style)
+    stylized = jax.device_get(stylized)  # force completion before timing
+    if metrics is not None:
+        metrics.timings_s["mip_batched"] = time.perf_counter() - t0
+    stylized = jnp.asarray(stylized)
+    if stylized.shape[1:] != layers.shape[1:]:
+        stylized = jax.image.resize(stylized, layers.shape, "bilinear")
+    final = mip_ops.reconstruct(stylized, depth, n)
     return final[None]
 
 

@@ -67,6 +67,9 @@ def default_mask_extractor() -> Callable:
 
         return dino_sam.get_mask_extractor()
     except Exception:
+        from tbist_tpu.utils import degraded
+
+        degraded.mark("mask_extractor", "mask_fallback")
         logger.warning(
             "mask extractor: no GroundingDINO/SAM weights — using "
             "border-prior fallback segmentation"
@@ -81,6 +84,9 @@ def default_emoji_extractor() -> Callable:
 
         return t5_emoji.get_emoji_extractor()
     except Exception:
+        from tbist_tpu.utils import degraded
+
+        degraded.mark("emoji_extractor", "emoji_fallback")
         logger.warning(
             "emoji extractor: no T5-emojilm weights/font — rasterizing the "
             "prompt's first character as the stencil"

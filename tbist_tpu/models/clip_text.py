@@ -304,6 +304,9 @@ def get_default_encoder():
         logger.info("CLIP text encoder: loaded converted ViT-B/32 weights")
         return encoder
 
+    from tbist_tpu.utils import degraded
+
+    degraded.mark("text_transfer", "clip_text_fallback")
     logger.warning(
         "CLIP text encoder: no checkpoint/vocab found — using deterministic "
         "prompt-seeded fallback embeddings (set TBIST_CLIP_PTH / TBIST_CLIP_BPE)"

@@ -9,9 +9,9 @@ Capability parity with text/TextMaskExtractor.py:25-68:
 * SAM masks for all boxes, summed and thresholded to one bool mask.
 
 Requires converted checkpoints (weights_cache/groundingdino_swint_ogc.pth,
-sam_vit_b_01ec64.pth) and a BERT vocab (weights_cache/bert_vocab.txt or a
-HF tokenizer dir via TBIST_BERT_TOKENIZER); effects.masking falls back to
-a deterministic extractor when any are missing.
+sam_vit_b_01ec64.pth) and a BERT vocab (weights_cache/bert_vocab.txt or an
+explicit path via TBIST_BERT_VOCAB); effects.masking falls back to a
+deterministic extractor when any are missing.
 """
 
 from __future__ import annotations

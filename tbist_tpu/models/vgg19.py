@@ -74,9 +74,13 @@ def _init_params_impl(key: jax.Array, dtype=jnp.float32) -> Params:
 
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     # reshape-max instead of reduce_window: identical for even H/W (the
-    # shape-bucketing policy guarantees multiples of 32), differentiable
-    # in bf16 (reduce_window-max fails to linearize in bf16 on this jax),
-    # and torch MaxPool2d also floor-drops odd remainders.
+    # shape-bucketing policy guarantees multiples of 32), torch MaxPool2d
+    # also floor-drops odd remainders, and its AUTOMATIC backward measured
+    # fastest on v5e of three formulations profiled in round 2 (see
+    # benchmarks/PROFILE.md): reshape-max 11.3 ms/iter full-loop vs
+    # reduce_window+select_and_scatter 11.9 vs a hand VJP built from
+    # stride-2 slices 12.9 (W-stride-2 is lane-hostile on TPU). Tie
+    # gradients split evenly among maxima (jax reduce_max semantics).
     b, h, w, c = x.shape
     x = x[:, : h - h % 2, : w - w % 2, :]
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)

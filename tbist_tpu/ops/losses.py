@@ -71,9 +71,10 @@ def gram_matrix(x: jnp.ndarray) -> jnp.ndarray:
         if pallas_gram.supported(x):
             return pallas_gram.gram_matrix(x)
     b, h, w, c = x.shape
-    flat = x.reshape(b, h * w, c)
+    # contract h, w directly on the 4D array — reshaping to (B, H*W, C)
+    # first makes XLA emit a real layout-conversion kernel per layer
     g = jnp.einsum(
-        "bnc,bnd->bcd", flat, flat, preferred_element_type=jnp.float32
+        "bhwc,bhwd->bcd", x, x, preferred_element_type=jnp.float32
     )
     return g / (b * c * h * w)
 

@@ -70,16 +70,15 @@ def _stylize_depth_jit(
 
     value_and_grad = jax.value_and_grad(loss_fn)
     img0 = content.astype(jnp.float32)
-    n = img0.size
-    opt_state0 = lbfgs.init_state(n, cfg.lbfgs_memory)
+    opt_state0 = lbfgs.init_state(img0.shape, cfg.lbfgs_memory)
     hist0 = jnp.zeros((cfg.num_steps,), jnp.float32)
 
     def body(i, carry):
         img, opt_state, hist = carry
         img = jnp.clip(img, 0.0, 1.0)
         value, grad = value_and_grad(img)
-        step_vec, opt_state = lbfgs.update(grad.reshape(-1), opt_state, weights[5])
-        return img + step_vec.reshape(img.shape), opt_state, hist.at[i].set(value)
+        step_vec, opt_state = lbfgs.update(grad, opt_state, weights[5])
+        return img + step_vec, opt_state, hist.at[i].set(value)
 
     img, _, hist = jax.lax.fori_loop(0, cfg.num_steps, body, (img0, opt_state0, hist0))
     return jnp.clip(img, 0.0, 1.0), hist

@@ -6,17 +6,26 @@ step scaled by ``min(1, 1/||g||_1)``, history of (s, y) pairs skipped when
 curvature ``y·s <= 1e-10``. One iteration = one loss/grad evaluation, which
 is what the iters/sec benchmark counts.
 
-This implementation is a fixed-shape circular-buffer two-loop recursion,
-fully jit-compatible (static memory size, masked history) so the whole
-optimization runs inside a single ``lax.fori_loop`` on device. Per-step
-cost beyond the user's grad is ~4·m·N VPU flops — negligible next to the
-VGG forward/backward.
+This implementation keeps a fixed-shape circular-buffer history (static
+memory size, masked slots) and computes the inverse-Hessian product with
+the Byrd-Nocedal-Schnabel COMPACT representation rather than the classic
+two-loop recursion: a handful of contractions and one (m, m) triangular
+system replace 2m latency-bound sequential (dot, axpy) chains —
+mathematically identical (verified against torch trajectories in
+tests/test_lbfgs.py). Fully jit-compatible, so the whole optimization runs
+inside a single ``lax.fori_loop`` on device.
+
+The parameter/gradient may have ANY shape: history rows share the
+gradient's native shape, so callers never flatten. (Flattening a NHWC
+image gradient to (N,) forced XLA layout-conversion copies worth
+~0.75 ms/iter at 512px on v5e — see the round-2 profile in
+benchmarks/PROFILE.md.)
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -24,25 +33,55 @@ import jax.numpy as jnp
 
 class LBFGSState(NamedTuple):
     step: jnp.ndarray  # int32 iteration counter
-    s_hist: jnp.ndarray  # (m, N) parameter differences
-    y_hist: jnp.ndarray  # (m, N) gradient differences
+    s_hist: jnp.ndarray  # (m, *shape) parameter differences
+    y_hist: jnp.ndarray  # (m, *shape) gradient differences
     rho: jnp.ndarray  # (m,) 1/(y·s); 0 marks an invalid slot
-    prev_grad: jnp.ndarray  # (N,)
-    prev_step_vec: jnp.ndarray  # (N,) t*d actually applied last iteration
+    prev_grad: jnp.ndarray  # (*shape,)
+    prev_step_vec: jnp.ndarray  # (*shape,) t*d actually applied last iteration
     gamma: jnp.ndarray  # H0 scaling (y·s)/(y·y)
 
 
-def init_state(n: int, memory_size: int, dtype=jnp.float32) -> LBFGSState:
+def init_state(
+    shape: Union[int, Tuple[int, ...]], memory_size: int, dtype=jnp.float32
+) -> LBFGSState:
+    """``shape`` is the parameter shape (an int keeps the legacy flat form)."""
+    if isinstance(shape, int):
+        shape = (shape,)
     m = memory_size
     return LBFGSState(
         step=jnp.zeros((), jnp.int32),
-        s_hist=jnp.zeros((m, n), dtype),
-        y_hist=jnp.zeros((m, n), dtype),
+        s_hist=jnp.zeros((m, *shape), dtype),
+        y_hist=jnp.zeros((m, *shape), dtype),
         rho=jnp.zeros((m,), dtype),
-        prev_grad=jnp.zeros((n,), dtype),
-        prev_step_vec=jnp.zeros((n,), dtype),
+        prev_grad=jnp.zeros(shape, dtype),
+        prev_step_vec=jnp.zeros(shape, dtype),
         gamma=jnp.ones((), dtype),
     )
+
+
+def _vdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full contraction of same-shaped arrays, exact accumulation."""
+    return jnp.sum(a * b, dtype=a.dtype)
+
+
+def _hist_dot(hist: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(m, *shape) x (*shape) -> (m,); layout-preserving contraction."""
+    return jnp.sum(hist * v[None], axis=tuple(range(1, hist.ndim)))
+
+
+def _hist_outer(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(m, *shape) x (m, *shape) -> (m, m); contracts all trailing dims."""
+    axes = list(range(1, a.ndim))
+    return jnp.einsum(
+        a, [0, *axes], b, [a.ndim, *axes], [0, a.ndim],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _hist_combine(coeff: jnp.ndarray, hist: jnp.ndarray) -> jnp.ndarray:
+    """(m,) x (m, *shape) -> (*shape,); weighted sum of history rows."""
+    c = coeff.reshape((-1,) + (1,) * (hist.ndim - 1))
+    return jnp.sum(c * hist, axis=0)
 
 
 @functools.partial(jax.jit, donate_argnames=("state",))
@@ -51,7 +90,8 @@ def update(
 ) -> Tuple[jnp.ndarray, LBFGSState]:
     """One L-BFGS step. Returns (update_vector, new_state).
 
-    ``update_vector`` is the additive parameter update (t * direction).
+    ``update_vector`` is the additive parameter update (t * direction),
+    shaped like ``grad``.
     """
     m = state.s_hist.shape[0]
     g = grad
@@ -64,48 +104,64 @@ def update(
     def later_step(state):
         s = state.prev_step_vec
         y = g - state.prev_grad
-        ys = jnp.dot(y, s)
+        ys = _vdot(y, s)
         valid = ys > 1e-10
 
         slot = (state.step - 1) % m
-        s_hist = jnp.where(
-            valid, state.s_hist.at[slot].set(s), state.s_hist
+        # Masked ROW update (3 MB) instead of a whole-buffer select (2x31 MB
+        # at 512px): compose the new row first, then one in-place
+        # dynamic-update-slice on the donated buffer.
+        old_s = jax.lax.dynamic_index_in_dim(state.s_hist, slot, 0)
+        old_y = jax.lax.dynamic_index_in_dim(state.y_hist, slot, 0)
+        s_hist = jax.lax.dynamic_update_slice_in_dim(
+            state.s_hist, jnp.where(valid, s[None], old_s), slot, 0
         )
-        y_hist = jnp.where(
-            valid, state.y_hist.at[slot].set(y), state.y_hist
+        y_hist = jax.lax.dynamic_update_slice_in_dim(
+            state.y_hist, jnp.where(valid, y[None], old_y), slot, 0
         )
-        rho = jnp.where(
-            valid, state.rho.at[slot].set(1.0 / ys), state.rho
+        rho = state.rho.at[slot].set(
+            jnp.where(valid, 1.0 / ys, state.rho[slot])
         )
-        gamma = jnp.where(valid, ys / jnp.dot(y, y), state.gamma)
+        gamma = jnp.where(valid, ys / _vdot(y, y), state.gamma)
 
-        # Two-loop recursion, newest -> oldest then oldest -> newest.
-        # Slots are visited via index arithmetic on the circular buffer;
-        # invalid slots (rho == 0) contribute nothing.
-        q = g
-        alphas = jnp.zeros((m,), g.dtype)
+        # Compact representation (Byrd-Nocedal-Schnabel 1994) instead of the
+        # two-loop recursion: mathematically the SAME inverse-Hessian
+        # product, but the 2m sequential (dot, axpy) chains become a few
+        # parallel contractions + an (m, m) solve. Verified against torch
+        # trajectories in tests/test_lbfgs.py.
+        #
+        #   H g = g*gamma + S^T[R^-T((D + gamma*YY^T)R^-1 Sg - gamma*Yg)]
+        #         - gamma*Y^T(R^-1 Sg)
+        #
+        # with rows of S/Y in circular-buffer order; chronological ordering
+        # enters only through the triangular mask of R. Invalid slots
+        # (rho == 0) have all-zero S/Y rows and identity diagonal in R/D,
+        # so they contribute exactly nothing.
+        #
+        # NOTE the surrounding lax.cond is ALSO a performance fence: letting
+        # XLA fuse this block into the main Gatys program doubles the whole
+        # loop's iteration time (measured 22.9 vs 12.7 ms/iter at 512px on
+        # v5e) — keep the branch even though step==0 is taken only once.
+        valid_slots = rho != 0.0
+        SY = _hist_outer(s_hist, y_hist)  # (m, m)
+        YY = _hist_outer(y_hist, y_hist)
+        # chronological position of each buffer row (newest == m-1)
+        chrono = (jnp.arange(m) - slot - 1) % m
+        keep = chrono[:, None] <= chrono[None, :]
+        eye = jnp.eye(m, dtype=g.dtype)
+        diag_fix = jnp.where(valid_slots, 0.0, 1.0)
+        R = jnp.where(keep, SY, 0.0) + diag_fix * eye
+        d_tilde = jnp.where(valid_slots, jnp.diagonal(SY), 1.0)
 
-        def loop1(i, carry):
-            q, alphas = carry
-            idx = (slot - i) % m
-            r = rho[idx]
-            alpha = r * jnp.dot(s_hist[idx], q)
-            q = jnp.where(r != 0.0, q - alpha * y_hist[idx], q)
-            alphas = alphas.at[idx].set(alpha)
-            return q, alphas
+        Sg = _hist_dot(s_hist, g)  # (m,)
+        Yg = _hist_dot(y_hist, g)
+        p = jnp.linalg.solve(R, Sg)  # R^-1 Sg  (10x10 -- negligible)
+        w = d_tilde * p + gamma * (YY @ p) - gamma * Yg
+        u = jnp.linalg.solve(R.T, w)  # R^-T w
+        r_vec = gamma * g + _hist_combine(u, s_hist) - gamma * _hist_combine(
+            p, y_hist
+        )
 
-        q, alphas = jax.lax.fori_loop(0, m, loop1, (q, alphas))
-        r_vec = gamma * q
-
-        def loop2(i, r_vec):
-            idx = (slot - (m - 1) + i) % m
-            rr = rho[idx]
-            beta = rr * jnp.dot(y_hist[idx], r_vec)
-            return jnp.where(
-                rr != 0.0, r_vec + (alphas[idx] - beta) * s_hist[idx], r_vec
-            )
-
-        r_vec = jax.lax.fori_loop(0, m, loop2, r_vec)
         new_state = state._replace(
             s_hist=s_hist, y_hist=y_hist, rho=rho, gamma=gamma
         )

@@ -33,12 +33,17 @@ class BatchState(NamedTuple):
 
 
 def _per_frame_loss(cfg: GatysConfig, vgg_params, style_grams, compute_dtype):
-    """Loss for ONE frame (H, W, 3) against its own content features."""
+    """Loss for ONE frame (H, W, 3) against its own content features.
+
+    ``w_style_i`` is a per-frame TRACED style weight (enables one compiled
+    program to optimize frames with different strengths — e.g. the MIP
+    depth layers, style_transfer_depth.py:61-72); ``cfg.w_style`` only
+    gates whether the term exists."""
     mean = jnp.asarray(VGG_MEAN, jnp.float32)
     std = jnp.asarray(VGG_STD, jnp.float32)
     all_layers = tuple(dict.fromkeys(cfg.content_layers + cfg.style_layers))
 
-    def loss_fn(img, content_feats, target_grad):
+    def loss_fn(img, content_feats, target_grad, w_style_i):
         x = img[None]
         normed = losses.normalize(x, mean, std)
         feats = vgg19.extract_features(vgg_params, normed, all_layers, compute_dtype)
@@ -52,7 +57,7 @@ def _per_frame_loss(cfg: GatysConfig, vgg_params, style_grams, compute_dtype):
             for layer in cfg.style_layers:
                 g = losses.gram_matrix(feats[layer])
                 sl = sl + jnp.mean(jnp.square(g - style_grams[layer]))
-            loss += cfg.w_style * sl / len(cfg.style_layers)
+            loss += w_style_i * sl / len(cfg.style_layers)
         if cfg.w_tv > 0:
             loss += cfg.w_tv * losses.total_variation_loss(normed)
         if cfg.w_edge > 0:
@@ -109,9 +114,11 @@ def init_batch(
             style_grams[layer] = grams[0]
 
     b = frames.shape[0]
-    n = frames[0].size
+    frame_shape = frames.shape[1:]
     if cfg.optimizer == "lbfgs":
-        opt_state = jax.vmap(lambda _: lbfgs.init_state(n, cfg.lbfgs_memory))(jnp.arange(b))
+        opt_state = jax.vmap(
+            lambda _: lbfgs.init_state(frame_shape, cfg.lbfgs_memory)
+        )(jnp.arange(b))
     else:
         opt_state = optax.adam(cfg.adam_lr).init(frames)
     state = BatchState(
@@ -129,21 +136,23 @@ def _train_step_impl(
     content_feats,
     target_grads,
     style_grams,
+    w_style=None,
 ) -> Tuple[BatchState, jnp.ndarray]:
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     loss_fn = _per_frame_loss(cfg, vgg_params, style_grams, compute_dtype)
 
     imgs = jnp.clip(state.images, 0.0, 1.0)
+    if w_style is None:
+        w_style = jnp.full((imgs.shape[0],), cfg.w_style, jnp.float32)
     values, grads = jax.vmap(jax.value_and_grad(loss_fn))(
-        imgs, content_feats, target_grads
+        imgs, content_feats, target_grads, w_style
     )
 
     if cfg.optimizer == "lbfgs":
-        flat_grads = grads.reshape(grads.shape[0], -1)
         step_vecs, opt_state = jax.vmap(
             lambda g, s: lbfgs.update(g, s, lr=cfg.learning_rate)
-        )(flat_grads, state.opt_state)
-        new_imgs = imgs + step_vecs.reshape(imgs.shape)
+        )(grads, state.opt_state)
+        new_imgs = imgs + step_vecs
     else:
         opt = optax.adam(cfg.adam_lr)
         updates, opt_state = opt.update(grads, state.opt_state, imgs)
@@ -160,20 +169,27 @@ def train_step(
     content_feats,
     target_grads,
     style_grams,
+    w_style=None,
 ) -> Tuple[BatchState, jnp.ndarray]:
-    """One optimizer step for the whole frame batch. Returns (state, losses(B,))."""
+    """One optimizer step for the whole frame batch. Returns (state, losses(B,)).
+
+    ``w_style`` optionally gives each frame its own traced style weight
+    ((B,) array); None uses cfg.w_style for every frame."""
     return _train_step_impl(
-        cfg, vgg_params, state, content_feats, target_grads, style_grams
+        cfg, vgg_params, state, content_feats, target_grads, style_grams, w_style
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _run_steps(cfg: GatysConfig, vgg_params, state, content_feats, target_grads, style_grams):
+def _run_steps(
+    cfg: GatysConfig, vgg_params, state, content_feats, target_grads,
+    style_grams, w_style=None,
+):
     """num_steps train steps fused into one program (no per-step dispatch)."""
 
     def body(_, st):
         st, _losses = _train_step_impl(
-            cfg, vgg_params, st, content_feats, target_grads, style_grams
+            cfg, vgg_params, st, content_feats, target_grads, style_grams, w_style
         )
         return st
 
@@ -185,13 +201,20 @@ def run(
     vgg_params,
     frames: jnp.ndarray,
     styles: Tuple[jnp.ndarray, ...],
+    w_style=None,
 ) -> jnp.ndarray:
     """Full batched stylization: init + num_steps train steps + clamp.
 
     The whole step loop runs as one jitted program; use ``train_step``
-    directly when per-step losses or checkpointing are needed."""
+    directly when per-step losses or checkpointing are needed. ``w_style``
+    optionally assigns each frame its own style weight ((B,) array, traced
+    — per-layer MIP strengths reuse this one compiled program)."""
     state, content_feats, target_grads, style_grams = init_batch(
         cfg, vgg_params, frames, styles
     )
-    state = _run_steps(cfg, vgg_params, state, content_feats, target_grads, style_grams)
+    if w_style is not None:
+        w_style = jnp.asarray(w_style, jnp.float32)
+    state = _run_steps(
+        cfg, vgg_params, state, content_feats, target_grads, style_grams, w_style
+    )
     return jnp.clip(state.images, 0.0, 1.0)

@@ -8,7 +8,17 @@ minimal JSON API with zero extra dependencies:
   POST /v1/image           -> body {"image": b64, "request": {...},
                               "style_image": b64?, "style_image1": b64?,
                               "style_image2": b64?, "color_palette_image": b64?}
-                              reply {"image": b64 PNG, "timings_s": {...}}
+                              reply {"image": b64 PNG, "timings_s": {...},
+                              "degraded": [...]}
+  POST /v1/video           -> body {"video": b64 mp4, "request": {...},
+                              same optional style/palette images,
+                              "max_frames": int?}
+                              reply {"video": b64 mp4, "timings_s": {...},
+                              "degraded": [...]}
+
+Replies carry a ``degraded`` list naming any component that resolved to a
+fallback (seeded VGG, heuristic mask extractor, ...) so callers know when
+an output did not come from real pretrained weights.
 
 Requests are processed sequentially (one TPU program at a time — device
 state is functional so this is a throughput choice, not a safety one).
@@ -72,43 +82,96 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": "unknown path"})
 
     def do_POST(self):
-        if self.path != "/v1/image":
+        if self.path == "/v1/image":
+            handler = self._handle_image
+        elif self.path == "/v1/video":
+            handler = self._handle_video
+        else:
             self._reply(404, {"error": "unknown path"})
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
             data = json.loads(self.rfile.read(length) or b"{}")
-            from tbist_tpu import api
-            from tbist_tpu.utils.request_schema import request_from_dict
-
-            req = request_from_dict(data.get("request", {}))
-            metrics = RunMetrics()
-            with self._lock:  # one device program at a time
-                out = api.apply_image(
-                    _decode_image(data.get("image")),
-                    req,
-                    style_image=_decode_image(data.get("style_image")),
-                    style_image1=_decode_image(data.get("style_image1")),
-                    style_image2=_decode_image(data.get("style_image2")),
-                    color_palette_image=_decode_image(
-                        data.get("color_palette_image")
-                    ),
-                    pixel_palette_image=_decode_image(
-                        data.get("pixel_palette_image")
-                    ),
-                    metrics=metrics,
-                )
-            if out is None:
-                self._reply(422, {"error": "missing required inputs for request"})
-                return
-            self._reply(
-                200, {"image": _encode_image(out), "timings_s": metrics.timings_s}
-            )
+            handler(data)
         except ValueError as e:
             self._reply(400, {"error": str(e)})
         except Exception as e:  # surface as 500 with the message
             logger.exception("serve: request failed")
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    @staticmethod
+    def _side_inputs(data: dict) -> dict:
+        return {
+            k: _decode_image(data.get(k))
+            for k in (
+                "style_image", "style_image1", "style_image2",
+                "color_palette_image", "pixel_palette_image",
+            )
+        }
+
+    def _handle_image(self, data: dict) -> None:
+        from tbist_tpu import api
+        from tbist_tpu.utils.request_schema import request_from_dict
+
+        req = request_from_dict(data.get("request", {}))
+        metrics = RunMetrics()
+        with self._lock:  # one device program at a time
+            out = api.apply_image(
+                _decode_image(data.get("image")), req,
+                metrics=metrics, **self._side_inputs(data),
+            )
+        if out is None:
+            self._reply(422, {"error": "missing required inputs for request"})
+            return
+        self._reply(
+            200,
+            {
+                "image": _encode_image(out),
+                "timings_s": metrics.timings_s,
+                "degraded": metrics.degraded,
+            },
+        )
+
+    def _handle_video(self, data: dict) -> None:
+        """Video over HTTP (the reference serves video via its UI,
+        app.py:742-864)."""
+        import os
+        import tempfile
+
+        from tbist_tpu import api
+        from tbist_tpu.utils.request_schema import request_from_dict
+
+        b64 = data.get("video")
+        if not b64:
+            self._reply(422, {"error": "missing 'video' (base64 mp4)"})
+            return
+        req = request_from_dict(data.get("request", {}))
+        metrics = RunMetrics()
+        max_frames = data.get("max_frames")
+        with tempfile.TemporaryDirectory() as tmp:
+            in_path = os.path.join(tmp, "in.mp4")
+            out_path = os.path.join(tmp, "out.mp4")
+            with open(in_path, "wb") as f:
+                f.write(base64.b64decode(b64))
+            with self._lock:
+                result = api.apply_video(
+                    in_path, req, out_path=out_path,
+                    max_frames=int(max_frames) if max_frames else None,
+                    metrics=metrics, **self._side_inputs(data),
+                )
+            if result is None:
+                self._reply(422, {"error": "missing required inputs for request"})
+                return
+            with open(result, "rb") as f:
+                video_b64 = base64.b64encode(f.read()).decode("ascii")
+        self._reply(
+            200,
+            {
+                "video": video_b64,
+                "timings_s": metrics.timings_s,
+                "degraded": metrics.degraded,
+            },
+        )
 
 
 def make_server(port: int = 8000, host: str = "127.0.0.1") -> ThreadingHTTPServer:

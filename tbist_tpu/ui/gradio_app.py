@@ -109,6 +109,55 @@ def _build_request(
     )
 
 
+def palette_list_display(size=(30, 300), interpolate: bool = False) -> List[np.ndarray]:
+    """Render every bundled palette as a preview strip.
+
+    Parity with ColourPalette.get_palette_list_display
+    (components/pixel_art/colour_palette.py:111-128) as precomputed at app
+    startup (reference app.py:70-71) in both plain and interpolated modes.
+    """
+    from tbist_tpu.effects import pixel_art as pa
+    from tbist_tpu.ops import palette as palette_ops
+
+    return [
+        palette_ops.render_palette_strip(pa.get_palette(i), size, interpolate)
+        for i in range(len(pa.load_palette_list()))
+    ]
+
+
+def palette_preview(
+    palette_idx,
+    interpolate: bool,
+    from_image: bool,
+    image,
+    n_colors: int,
+    size=(30, 300),
+) -> np.ndarray:
+    """Live palette preview, matching update_colour_palette_visibility
+    (reference app.py:1113-1128): palette-from-image when enabled and an
+    image is uploaded, else the selected bundled palette; blank when
+    nothing is selected."""
+    from tbist_tpu.ops import palette as palette_ops
+
+    if from_image and image is not None:
+        import jax
+
+        arr = np.asarray(image)
+        pal = palette_ops.palette_from_image(
+            arr.astype(np.float32) / 255.0 if arr.dtype.kind in "ui" else arr,
+            int(n_colors),
+            jax.random.key(0),
+        )
+        return palette_ops.render_palette_strip(pal, size, interpolate)
+    if palette_idx is None:
+        return np.zeros((100, 100, 3), np.uint8)  # reference's blank 100x100
+    from tbist_tpu.effects import pixel_art as pa
+
+    return palette_ops.render_palette_strip(
+        pa.get_palette(int(palette_idx)), size, interpolate
+    )
+
+
 def build_demo():
     """Construct the gradio Blocks app (requires gradio installed)."""
     try:
@@ -118,13 +167,9 @@ def build_demo():
             "gradio is not installed in this environment; use tbist_tpu.cli"
         ) from e
 
-    from tbist_tpu.effects import pixel_art as pa
-    from tbist_tpu.ops import palette as palette_ops
-
-    palette_previews = [
-        palette_ops.render_palette_strip(pa.get_palette(i), (32, 256))
-        for i in range(len(pa.load_palette_list()))
-    ]
+    # all 70 palettes pre-rendered in both modes (reference app.py:70-71)
+    palette_previews = palette_list_display()
+    palette_previews_interp = palette_list_display(interpolate=True)
 
     with gr.Blocks(title="tbist_tpu style transfer") as demo:
         gr.Markdown("# Text-based image & video style transfer (TPU)")
@@ -148,11 +193,19 @@ def build_demo():
                 with gr.Group(visible=False) as pixel_panel:
                     pixel_effects = gr.CheckboxGroup(PIXEL_EFFECTS, label="Pixel art options")
                     pixel_size = gr.Slider(0.01, 1.0, 0.4, label="Pixel size")
-                    palette_idx = gr.Slider(0, len(palette_previews) - 1, 0, step=1, label="Palette #")
-                    palette_preview = gr.Image(label="Palette", interactive=False)
+                    palette_idx = gr.Dropdown(
+                        choices=list(range(len(palette_previews))), value=0,
+                        label="Palette #",
+                    )
+                    palette_preview_img = gr.Image(label="Palette", interactive=False)
                     palette_interp = gr.Checkbox(label="Interpolate palette")
                     palette_from_image = gr.Checkbox(label="Palette from image")
-                    palette_n_colors = gr.Slider(2, 32, 10, step=1, label="# palette colors")
+                    pixel_palette_img = gr.Image(
+                        label="Palette source image", visible=False
+                    )
+                    palette_n_colors = gr.Slider(
+                        2, 32, 10, step=1, label="# palette colors", visible=False
+                    )
                     edge_threshold = gr.Slider(0, 100, 50, step=1, label="Edge threshold")
 
                 with gr.Group(visible=False) as style_panel:
@@ -213,10 +266,39 @@ def build_demo():
             [image_in, video_in, video_panel, image_out, video_out],
         )
 
-        def on_palette_idx(i):  # live preview (reference app.py:1113-1128)
-            return palette_previews[int(i)]
+        # live palette preview (reference update_colour_palette_visibility,
+        # app.py:1113-1128): bundled palette, interpolated variant, or a
+        # palette extracted live from an uploaded image
+        def on_palette_change(idx, interp, from_img, img, n_colors):
+            if not from_img and img is None and idx is not None:
+                # fast path: precomputed list display
+                return (
+                    palette_previews_interp[int(idx)]
+                    if interp
+                    else palette_previews[int(idx)]
+                )
+            return palette_preview(idx, interp, from_img, img, n_colors)
 
-        palette_idx.change(on_palette_idx, palette_idx, palette_preview)
+        _palette_inputs = [
+            palette_idx, palette_interp, palette_from_image,
+            pixel_palette_img, palette_n_colors,
+        ]
+        for widget in _palette_inputs:
+            widget.change(on_palette_change, _palette_inputs, palette_preview_img)
+
+        # palette-from-image override: show the source image + color-count
+        # slider and lock the dropdown (reference app.py:1099-1110)
+        def on_palette_from_image(enabled):
+            return (
+                gr.update(visible=enabled),
+                gr.update(visible=enabled),
+                gr.update(interactive=not enabled),
+            )
+
+        palette_from_image.change(
+            on_palette_from_image, palette_from_image,
+            [pixel_palette_img, palette_n_colors, palette_idx],
+        )
 
         def on_depth_preview(image_path, n):
             # live depth-split preview (reference update_d_out,
@@ -238,7 +320,7 @@ def build_demo():
         def run(input_type_v, image_path, video_path, *vals):
             (effects_v, text_effects_v, ts, tl, tt, es, eb, est, estr,
              pe, ps, pi, pint, et, pfi, pnc, sw, ca, dm, mn, itf, slo,
-             style_p, s1, s2, pal_p) = vals
+             style_p, s1, s2, pal_p, pixel_pal) = vals
             req = _build_request(
                 effects_v, text_effects_v, ts, tl, tt, es, eb, est, estr,
                 pe, ps, pi, pint, et, pfi, pnc, sw, ca, dm, mn, itf, slo,
@@ -247,12 +329,13 @@ def build_demo():
                 path = api.apply_video(
                     video_path, req, style_image=style_p,
                     style_image1=s1, style_image2=s2,
-                    color_palette_image=pal_p,
+                    color_palette_image=pal_p, pixel_palette_image=pixel_pal,
                 )
                 return None, path
             out = api.apply_image(
                 image_path, req, style_image=style_p,
                 style_image1=s1, style_image2=s2, color_palette_image=pal_p,
+                pixel_palette_image=pixel_pal,
             )
             return (np.asarray(out) if out else None), None
 
@@ -264,7 +347,8 @@ def build_demo():
              pixel_effects, pixel_size, palette_idx, palette_interp,
              edge_threshold, palette_from_image, palette_n_colors,
              style_weight, channel_attention, depth_mode, mip_n,
-             interp_frames, slowmo, style_img, style_img1, style_img2, palette_img],
+             interp_frames, slowmo, style_img, style_img1, style_img2,
+             palette_img, pixel_palette_img],
             [image_out, video_out],
         )
     return demo

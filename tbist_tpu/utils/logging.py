@@ -30,6 +30,9 @@ class RunMetrics:
     timings_s: Dict[str, float] = field(default_factory=dict)
     loss_history: List[float] = field(default_factory=list)
     extra: Dict[str, float] = field(default_factory=dict)
+    # Degradation tags (e.g. "vgg_seeded", "mask_fallback") for components
+    # this run used that resolved to fallbacks — see utils.degraded.
+    degraded: List[str] = field(default_factory=list)
 
 
 @contextmanager

@@ -180,6 +180,13 @@ def apply_video(
             processed.append(to_uint8(out))
             logger.info("video: frame %d/%d done", i + 1, len(frames))
 
+    if metrics is not None:
+        from tbist_tpu.utils import degraded as _degraded
+
+        flags = _degraded.flags_for(pipe.needed_components(req))
+        if flags:
+            metrics.degraded = sorted(set(metrics.degraded) | set(flags))
+
     final = cross_dissolve(processed, vcfg.interpolation_frames)
 
     new_fps = fps * (vcfg.interpolation_frames + 1) if vcfg.interpolation_frames else fps

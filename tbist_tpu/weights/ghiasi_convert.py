@@ -98,6 +98,9 @@ def get_params() -> Tuple[Dict, list]:
         m = convert_clip_mlp({k: v.numpy() for k, v in m_sd.items()})
         logger.info("Ghiasi/CLIP-MLP: converted reference checkpoints")
         return g, m
+    from tbist_tpu.utils import degraded
+
+    degraded.mark("text_transfer", "ghiasi_seeded")
     logger.warning(
         "Ghiasi/CLIP-MLP: no checkpoints — seeded init (set TBIST_GHIASI_PTH "
         "and TBIST_CLIP_MLP_PTH for the reference weights)"

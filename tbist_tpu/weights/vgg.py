@@ -115,6 +115,9 @@ def get_params(seed: int = 0) -> vgg19.Params:
     if converted is not None:
         logger.info("VGG-19: converted torchvision checkpoint")
         return converted
+    from tbist_tpu.utils import degraded
+
+    degraded.mark("vgg_params", "vgg_seeded")
     logger.warning(
         "VGG-19: no checkpoint found — using deterministic seeded init "
         "(set TBIST_VGG19_PTH to a torchvision vgg19 .pth for real weights)"

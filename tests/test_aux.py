@@ -1,5 +1,6 @@
 """Aux subsystems: checkpoint/resume, Pallas gram parity, weight converters."""
 
+import json
 import os
 import tempfile
 
@@ -235,5 +236,55 @@ class TestConverters:
             np.testing.assert_allclose(
                 np.asarray(params["conv1_1"]["kernel"]), want, atol=1e-6
             )
+        finally:
+            vgg_weights.get_params.cache_clear()
+
+
+class TestVerifyAllRunbook:
+    def test_all_missing_is_ok_but_strict_fails(self, tmp_path, monkeypatch):
+        from tbist_tpu.weights import verify_all
+
+        for var in ("TBIST_VGG19_PTH", "TBIST_CLIP_PTH", "TBIST_CLIP_BPE",
+                    "TBIST_T5_EMOJI_DIR", "TBIST_DEPTH_PTH"):
+            monkeypatch.delenv(var, raising=False)
+        monkeypatch.setattr(verify_all, "CACHE", str(tmp_path))
+        assert verify_all.main([]) == 0
+        assert verify_all.main(["--strict"]) == 1
+        manifest = json.loads((tmp_path / "MANIFEST.json").read_text())
+        assert all("MISSING" in v for v in manifest["results"].values())
+
+    def test_vgg_family_converts_and_passes(self, tmp_path, monkeypatch):
+        """End-to-end: a synthetic torchvision-layout .pth goes through the
+        real loader + behavioral battery."""
+        import torch
+
+        from tbist_tpu.weights import vgg as vgg_weights
+        from tbist_tpu.weights import verify_all
+
+        torch.manual_seed(0)
+        idx_ch = [(0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
+                  (10, 128, 256), (12, 256, 256), (14, 256, 256), (16, 256, 256),
+                  (19, 256, 512), (21, 512, 512), (23, 512, 512), (25, 512, 512),
+                  (28, 512, 512), (30, 512, 512), (32, 512, 512), (34, 512, 512)]
+        sd = {}
+        for i, cin, cout in idx_ch:
+            sd[f"features.{i}.weight"] = torch.randn(cout, cin, 3, 3) * 0.05
+            sd[f"features.{i}.bias"] = torch.zeros(cout)
+        pth = tmp_path / "vgg19.pth"
+        torch.save(sd, pth)
+
+        monkeypatch.setattr(verify_all, "CACHE", str(tmp_path))
+        monkeypatch.setattr(vgg_weights, "_CACHE_DIR", str(tmp_path))
+        # verify_all sets TBIST_VGG19_PTH via os.environ directly; register
+        # the key with monkeypatch so the teardown removes it (otherwise it
+        # leaks into later tests and converts the synthetic pth for them)
+        monkeypatch.setenv("TBIST_VGG19_PTH", str(pth))
+        vgg_weights.get_params.cache_clear()
+        try:
+            rep = verify_all.Report()
+            assert verify_all.verify_vgg(rep, str(pth))
+            assert rep.results["vgg"].startswith("PASS")
+            assert "vgg19.pth" in rep.manifest["vgg"]
+            assert len(rep.manifest["vgg"]["vgg19.pth"]["sha256"]) == 64
         finally:
             vgg_weights.get_params.cache_clear()

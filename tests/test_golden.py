@@ -59,8 +59,82 @@ def _cases():
     def reinhard_case():
         return np.asarray(basic.color_palette_transfer(content, style)[0])
 
-    return {"gatys_8step": gatys_case, "pixel_art": pixel_case,
-            "reinhard": reinhard_case}
+    # --- round-2 additions: the subtlest reimplementations (VERDICT r1 #5) ---
+
+    def _seg_mask():
+        # deterministic non-trivial segmentation mask from the content
+        # luminance (same shape class as a DINO+SAM mask)
+        luma = jnp.mean(content[0], axis=-1)
+        return luma > jnp.mean(luma)
+
+    def _stencil():
+        # deterministic checkered stencil (font rasterization is
+        # environment-dependent; goldens must not depend on PIL's bitmap font)
+        yy, xx = np.mgrid[0:172, 0:172]
+        ring = ((yy - 86) ** 2 + (xx - 86) ** 2 < 70**2) & (
+            ((yy // 12) + (xx // 12)) % 2 == 0
+        )
+        return jnp.asarray(ring)
+
+    def merge_k95_case():
+        from tbist_tpu.ops import masks
+
+        return np.asarray(
+            masks.merge_content_style_masks(_seg_mask(), _stencil(), 95, 0.5)
+        )
+
+    def merge_k31_case():
+        from tbist_tpu.ops import masks
+
+        return np.asarray(
+            masks.merge_content_style_masks(_seg_mask(), _stencil(), 31, 1.0)
+        )
+
+    def feathered_composite_case():
+        from tbist_tpu.ops import masks
+
+        return np.asarray(
+            masks.composite_by_mask(content, style, _seg_mask(), 9)[0]
+        )
+
+    def mip_roundtrip_case():
+        from tbist_tpu.effects import depth as depth_fx
+        from tbist_tpu.ops import mip as mip_ops
+
+        depth = depth_fx._fallback_depth(content)
+        layers = mip_ops.generate_layers(content, depth, 3)
+        return np.asarray(mip_ops.reconstruct(layers, depth, 3))
+
+    def mixing_case():
+        style2 = to_device(
+            load_image(os.path.join(DATA, "style_imgs/picasso.jpg")),
+            bucket=32, max_side=64,
+        )
+        cfg = GatysConfig(num_steps=8, w_style=1e4, style_img_weight=0.3)
+        out, _ = gatys.stylize(content, [style, style2], cfg, params)
+        return np.asarray(out[0])
+
+    def depth_loss_case():
+        from tbist_tpu.effects import depth as depth_fx
+        from tbist_tpu.optimize import gatys_depth
+
+        cfg = GatysConfig(num_steps=6, w_style=1e4, w_depth=5e4)
+        out = gatys_depth.stylize_with_depth(
+            content, style, cfg, depth_fx._fallback_depth, params
+        )
+        return np.asarray(out[0])
+
+    return {
+        "gatys_8step": gatys_case,
+        "pixel_art": pixel_case,
+        "reinhard": reinhard_case,
+        "merge_k95": merge_k95_case,
+        "merge_k31": merge_k31_case,
+        "feathered_composite": feathered_composite_case,
+        "mip_roundtrip": mip_roundtrip_case,
+        "mixing_2style": mixing_case,
+        "depth_loss_6step": depth_loss_case,
+    }
 
 
 def regen():

@@ -123,3 +123,61 @@ class TestGrayscale:
         np.testing.assert_allclose(
             np.asarray(got)[..., 0], np.mean(np.asarray(img), -1), rtol=1e-6
         )
+
+
+class TestMaxPoolVJP:
+    """The 2x2 maxpool (models/vgg19.py) must match the reference
+    reshape-max formulation in forward and gradient, splitting tie
+    gradients evenly (jax reduce_max semantics)."""
+
+    def _auto_pool(self, x):
+        import jax.numpy as jnp
+
+        b, h, w, c = x.shape
+        x = x[:, : h - h % 2, : w - w % 2, :]
+        return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+
+    def test_forward_and_grad_match_auto(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tbist_tpu.models import vgg19
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 8, 10, 3)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(vgg19._max_pool_2x2(x)), np.asarray(self._auto_pool(x))
+        )
+        g1 = jax.grad(lambda x: jnp.sum(vgg19._max_pool_2x2(x) ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(self._auto_pool(x) ** 2))(x)
+        # gradients agree wherever there are no exact ties (random floats)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+    def test_tie_splitting(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tbist_tpu.models import vgg19
+
+        # all four window elements tied -> gradient split 4 ways
+        x = jnp.ones((1, 2, 2, 1), jnp.float32)
+        g = jax.grad(lambda x: jnp.sum(vgg19._max_pool_2x2(x)))(x)
+        np.testing.assert_allclose(np.asarray(g), 0.25 * np.ones((1, 2, 2, 1)))
+
+    def test_odd_sizes_cropped(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tbist_tpu.models import vgg19
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 7, 9, 2)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(vgg19._max_pool_2x2(x)), np.asarray(self._auto_pool(x))
+        )
+        g1 = jax.grad(lambda x: jnp.sum(vgg19._max_pool_2x2(x)))(x)
+        g2 = jax.grad(lambda x: jnp.sum(self._auto_pool(x)))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)

@@ -66,6 +66,56 @@ class TestBatchedStylize:
             )
 
 
+class TestPerFrameStyleWeights:
+    def test_traced_weights_equal_uniform_runs(self):
+        """batched.run with a per-frame w_style vector must equal separate
+        uniform-weight runs of the same frames (the MIP layer batching)."""
+        import dataclasses
+
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        frames = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), jnp.float32)
+        style = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+        base = GatysConfig(num_steps=3, w_style=1e3)
+
+        mixed = np.asarray(
+            batched.run(
+                base, vgg_params, frames, (style,),
+                w_style=jnp.asarray([1e3, 5e3]),
+            )
+        )
+        for i, w in enumerate((1e3, 5e3)):
+            cfg_i = dataclasses.replace(base, w_style=w)
+            single = np.asarray(
+                batched.run(cfg_i, vgg_params, frames[i : i + 1], (style,))
+            )
+            np.testing.assert_allclose(mixed[i], single[0], atol=2e-4)
+
+    def test_mip_batched_matches_sequential(self):
+        """style_mip batched path equals the sequential per-layer path.
+
+        One optimizer step only: the two implementations (optimize.gatys vs
+        parallel.batched) sum loss terms in different orders, and L-BFGS on
+        the saturating masked-layer objective amplifies that ~1e-7 noise
+        chaotically over more steps (verified: step-1 agreement is 6e-8,
+        step-4 divergence is O(1))."""
+        from tbist_tpu.effects import depth as depth_fx
+        from tbist_tpu.utils.config import GatysConfig as GC
+
+        img = jax.random.uniform(jax.random.key(3), (1, 32, 32, 3), jnp.float32)
+        style = jax.random.uniform(jax.random.key(4), (1, 32, 32, 3), jnp.float32)
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        cfg = GC(num_steps=1, w_style=1e3, w_edge=0.0)
+        est = depth_fx._fallback_depth
+        seq = np.asarray(
+            depth_fx.style_mip(img, style, 2, cfg, est, vgg_params, batched=False)
+        )
+        bat = np.asarray(
+            depth_fx.style_mip(img, style, 2, cfg, est, vgg_params, batched=True)
+        )
+        assert bat.shape == seq.shape
+        np.testing.assert_allclose(bat, seq, atol=1e-5)
+
+
 class TestShardingEquivalence:
     def test_sharded_equals_unsharded(self):
         """The sp-sharded (spatially partitioned) train step must produce

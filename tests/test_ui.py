@@ -50,6 +50,48 @@ class TestGradioRequestBuilder:
         assert req.gatys.style_img_weight == 0.8
 
 
+class TestPalettePreview:
+    def test_list_display_covers_all_palettes(self):
+        from tbist_tpu.effects import pixel_art as pa
+
+        plain = gradio_app.palette_list_display(size=(8, 64))
+        interp = gradio_app.palette_list_display(size=(8, 64), interpolate=True)
+        n = len(pa.load_palette_list())
+        assert len(plain) == len(interp) == n == 70
+        assert all(p.shape == (8, 64, 3) for p in plain)
+        # interpolated differs from plain for multi-color palettes
+        assert any(
+            not (p == q).all() for p, q in zip(plain, interp)
+        )
+
+    def test_preview_selected_palette(self):
+        import numpy as np
+
+        from tbist_tpu.effects import pixel_art as pa
+        from tbist_tpu.ops import palette as palette_ops
+
+        got = gradio_app.palette_preview(3, False, False, None, 10, size=(8, 64))
+        want = palette_ops.render_palette_strip(pa.get_palette(3), (8, 64))
+        np.testing.assert_array_equal(got, want)
+
+    def test_preview_none_is_blank(self):
+        got = gradio_app.palette_preview(None, False, False, None, 10)
+        assert got.shape == (100, 100, 3) and not got.any()
+
+    def test_preview_from_image_extracts_palette(self):
+        import numpy as np
+
+        # two-color image -> 2-color palette rendered as a strip
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:, 8:] = (200, 40, 40)
+        got = gradio_app.palette_preview(0, False, True, img, 2, size=(8, 64))
+        colors = np.unique(got.reshape(-1, 3), axis=0)
+        # strip shows (about) the two source colors (plus possible black pad)
+        assert got.shape == (8, 64, 3)
+        assert len(colors) <= 3
+        assert any(c[0] > 150 for c in colors)  # the red cluster survived
+
+
 class TestBasicCliModes:
     def test_mode_table_covers_nine(self):
         assert len(basic_cli.MODES) == 9
