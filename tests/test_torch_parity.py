@@ -379,3 +379,65 @@ class TestBertParity:
         )
         np.testing.assert_allclose(got[0], want[0], atol=1e-4)
         np.testing.assert_allclose(got[1, :7], want[1, :7], atol=1e-4)
+
+
+class TestClipFullTowerParity:
+    def test_encode_tokens_matches_hf_clip_text_model(self):
+        """Full ViT-B/32 text tower vs transformers.CLIPTextModelWithProjection
+        on random weights: proves convert_openai_state_dict's layout (the HF
+        state dict is re-keyed into openai naming, the converter's input
+        format) and encode_tokens end to end (causal mask, quick-gelu,
+        EOT pooling, text projection)."""
+        transformers = pytest.importorskip("transformers")
+        torch.manual_seed(9)
+        cfg = transformers.CLIPTextConfig(  # defaults ARE ViT-B/32 text
+            bos_token_id=49406, eos_token_id=49407,
+        )
+        assert (cfg.hidden_size, cfg.num_hidden_layers, cfg.num_attention_heads) == (
+            512, 12, 8,
+        )
+        hf = transformers.CLIPTextModelWithProjection(cfg).eval()
+
+        # re-key HF weights into the openai-clip naming our converter reads
+        hsd = hf.state_dict()
+        sd = {
+            "token_embedding.weight":
+                hsd["text_model.embeddings.token_embedding.weight"],
+            "positional_embedding":
+                hsd["text_model.embeddings.position_embedding.weight"],
+            "ln_final.weight": hsd["text_model.final_layer_norm.weight"],
+            "ln_final.bias": hsd["text_model.final_layer_norm.bias"],
+            "text_projection": hsd["text_projection.weight"].T,
+        }
+        for i in range(12):
+            h = f"text_model.encoder.layers.{i}"
+            o = f"transformer.resblocks.{i}"
+            sd[f"{o}.ln_1.weight"] = hsd[f"{h}.layer_norm1.weight"]
+            sd[f"{o}.ln_1.bias"] = hsd[f"{h}.layer_norm1.bias"]
+            sd[f"{o}.ln_2.weight"] = hsd[f"{h}.layer_norm2.weight"]
+            sd[f"{o}.ln_2.bias"] = hsd[f"{h}.layer_norm2.bias"]
+            sd[f"{o}.attn.in_proj_weight"] = torch.cat(
+                [hsd[f"{h}.self_attn.{p}_proj.weight"] for p in "qkv"], dim=0
+            )
+            sd[f"{o}.attn.in_proj_bias"] = torch.cat(
+                [hsd[f"{h}.self_attn.{p}_proj.bias"] for p in "qkv"], dim=0
+            )
+            sd[f"{o}.attn.out_proj.weight"] = hsd[f"{h}.self_attn.out_proj.weight"]
+            sd[f"{o}.attn.out_proj.bias"] = hsd[f"{h}.self_attn.out_proj.bias"]
+            sd[f"{o}.mlp.c_fc.weight"] = hsd[f"{h}.mlp.fc1.weight"]
+            sd[f"{o}.mlp.c_fc.bias"] = hsd[f"{h}.mlp.fc1.bias"]
+            sd[f"{o}.mlp.c_proj.weight"] = hsd[f"{h}.mlp.fc2.weight"]
+            sd[f"{o}.mlp.c_proj.bias"] = hsd[f"{h}.mlp.fc2.bias"]
+        params = clip_text.convert_openai_state_dict(
+            {k: v.numpy() for k, v in sd.items()}
+        )
+
+        # openai-style token row: BOT prompt EOT then zero padding; EOT is
+        # the max id so openai argmax pooling == HF eos-position pooling
+        tokens = np.zeros((2, 77), np.int64)
+        tokens[0, :5] = [49406, 320, 1125, 539, 49407]
+        tokens[1, :7] = [49406, 786, 1126, 940, 23, 7, 49407]
+        with torch.no_grad():
+            want = hf(input_ids=torch.from_numpy(tokens)).text_embeds.numpy()
+        got = np.asarray(clip_text.encode_tokens(params, jnp.asarray(tokens)))
+        np.testing.assert_allclose(got, want, atol=2e-4)

@@ -50,6 +50,73 @@ class TestGradioRequestBuilder:
         assert req.gatys.style_img_weight == 0.8
 
 
+class TestReferenceWidgetCoverage:
+    """Every input the reference wires into apply_image_process
+    (app.py:1196-1201, 25 widgets) must map to a _build_request argument
+    or an image input of the api layer — proving UI surface parity without
+    gradio installed (it is absent in this environment)."""
+
+    # reference widget -> (kind, our name); kind "builder" = _build_request
+    # parameter, "image" = api.apply_image input wired in gradio_app.run
+    MAPPING = {
+        "image_input": ("image", "image_path"),
+        "checkbox_input": ("builder", "effects"),
+        "input_style": ("image", "style_image"),
+        "text_specific_style_checkbox": ("builder", "text_effects"),
+        "text_style_transfer_text_box": ("builder", "text_style"),
+        "location_masking_text_box": ("builder", "text_location"),
+        "style_masking_text_box": ("builder", "text_texture"),
+        "text_masked_transfer_edge_smoothing": ("builder", "edge_smoothing"),
+        "text_emoji_blur_strength": ("builder", "emoji_blur"),
+        "text_emoji_step_size": ("builder", "emoji_step"),
+        "text_masked_style_strength": ("builder", "emoji_strength"),
+        "p_size_slider": ("builder", "pixel_size"),
+        "p_checkbox": ("builder", "pixel_effects"),
+        "p_colour_dropbox": ("builder", "palette_idx"),
+        "p_colour_interpolate": ("builder", "palette_interp"),
+        "p_edge_slider": ("builder", "edge_threshold"),
+        "p_select_im": ("builder", "palette_from_image"),
+        "p_in": ("image", "pixel_palette_image"),
+        "p_in_slid": ("builder", "palette_n_colors"),
+        "style_image_weight": ("builder", "style_weight"),
+        "style_image1": ("image", "style_image1"),
+        "style_image2": ("image", "style_image2"),
+        "color_palette_style": ("image", "color_palette_image"),
+        "d_checkbox": ("builder", "depth_mode"),
+        "depth_mip_n": ("builder", "mip_n"),
+    }
+
+    def test_all_25_reference_widgets_covered(self):
+        import inspect
+
+        from tbist_tpu import api
+
+        assert len(self.MAPPING) == 25
+        builder_params = set(
+            inspect.signature(gradio_app._build_request).parameters
+        )
+        api_params = set(inspect.signature(api.apply_image).parameters)
+        for ref_widget, (kind, ours) in self.MAPPING.items():
+            if kind == "builder":
+                assert ours in builder_params, (ref_widget, ours)
+            else:
+                # image inputs flow through api.apply_image keyword args
+                # (image_path is the positional image)
+                assert ours == "image_path" or ours in api_params, (
+                    ref_widget, ours,
+                )
+
+    def test_video_extras_also_covered(self):
+        # apply_video_process additionally takes interpolation/slowmo
+        # sliders (reference app.py:1223-1231 video panel)
+        import inspect
+
+        builder_params = set(
+            inspect.signature(gradio_app._build_request).parameters
+        )
+        assert {"interp_frames", "slowmo"} <= builder_params
+
+
 class TestPalettePreview:
     def test_list_display_covers_all_palettes(self):
         from tbist_tpu.effects import pixel_art as pa
