@@ -90,8 +90,14 @@ def style_mip(
     The reference runs a FULL 400-step optimization per depth layer,
     sequentially (n x latency, SURVEY §3.4). Here the n layers are one
     dp-batched optimization (parallel.batched) whose per-layer strengths
-    1 - i/n enter as a traced (n,) weight vector — wall-clock of ~one run
-    and one compiled program regardless of n. ``batched=False`` keeps the
+    1 - i/n enter as a traced (n,) weight vector: one compiled program and
+    one device dispatch regardless of n. Measured honestly
+    (benchmarks/results.json mip4_*): wall-clock is comparable to the
+    sequential path rather than n x faster, because sequential ALREADY
+    shares one compilation across strengths (traced loss weights) and the
+    single-image loop nearly saturates the chip; what batching removes is
+    the n host round-trips — which matters when layers are many or the
+    host link is slow (axon tunnel). ``batched=False`` keeps the
     sequential path for parity testing.
     """
     import time
