@@ -72,17 +72,30 @@ def _init_params_impl(key: jax.Array, dtype=jnp.float32) -> Params:
     return params
 
 
+import os
+
+_USE_PALLAS_POOL = os.environ.get("TBIST_PALLAS_POOL", "0") == "1"
+
+
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     # reshape-max instead of reduce_window: identical for even H/W (the
     # shape-bucketing policy guarantees multiples of 32), torch MaxPool2d
     # also floor-drops odd remainders, and its AUTOMATIC backward measured
-    # fastest on v5e of three formulations profiled in round 2 (see
-    # benchmarks/PROFILE.md): reshape-max 11.3 ms/iter full-loop vs
+    # fastest on v5e of three XLA formulations profiled in round 2 (see
+    # benchmarks/PROFILE.md): reshape-max 11.1 ms/iter full-loop vs
     # reduce_window+select_and_scatter 11.9 vs a hand VJP built from
     # stride-2 slices 12.9 (W-stride-2 is lane-hostile on TPU). Tie
     # gradients split evenly among maxima (jax reduce_max semantics).
+    # TBIST_PALLAS_POOL=1 swaps in the fused Pallas backward
+    # (ops.pallas_pool) on supported TPU shapes — same forward, same
+    # tie-splitting VJP.
     b, h, w, c = x.shape
     x = x[:, : h - h % 2, : w - w % 2, :]
+    if _USE_PALLAS_POOL:
+        from tbist_tpu.ops import pallas_pool
+
+        if pallas_pool.supported(x):
+            return pallas_pool.max_pool_2x2_even(x)
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return jnp.max(x, axis=(2, 4))
 

@@ -288,3 +288,27 @@ class TestVerifyAllRunbook:
             assert len(rep.manifest["vgg"]["vgg19.pth"]["sha256"]) == 64
         finally:
             vgg_weights.get_params.cache_clear()
+
+
+class TestPallasPoolParity:
+    def test_matches_auto_vjp_in_interpret_mode(self):
+        """Pallas pool backward == XLA automatic VJP, incl. tie splitting."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tbist_tpu.ops import pallas_pool
+
+        def auto_pool(x):
+            b, h, w, c = x.shape
+            return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+
+        x = jax.random.uniform(jax.random.key(5), (1, 16, 12, 8), jnp.float32)
+        x = jnp.round(x * 4) / 4  # force exact ties
+        with pltpu.force_tpu_interpret_mode():
+            f1 = np.asarray(pallas_pool.max_pool_2x2_even(x))
+            g1 = np.asarray(
+                jax.grad(lambda x: jnp.sum(pallas_pool.max_pool_2x2_even(x) ** 2))(x)
+            )
+        f2 = np.asarray(auto_pool(x))
+        g2 = np.asarray(jax.grad(lambda x: jnp.sum(auto_pool(x) ** 2))(x))
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_allclose(g1, g2, atol=1e-6)
