@@ -118,8 +118,14 @@ def encode(params, cfg: DAConfig, img: jnp.ndarray) -> List[jnp.ndarray]:
         h2 = h2 @ blk["mlp_fc2_w"] + blk["mlp_fc2_b"]
         x = x + h2 * blk["ls2"]
         states.append(x)
-    # one entry per out_layers index (duplicates allowed; XLA dedups)
-    return [states[i - 1] for i in cfg.out_layers]
+    # One entry per out_layers index (duplicates allowed; XLA dedups).
+    # DepthAnything taps intermediate states WITH the shared final
+    # layernorm applied (DINOv2 get_intermediate_layers(norm=True); HF
+    # Dinov2Backbone apply_layernorm=True) — verified against
+    # transformers.DepthAnythingForDepthEstimation in
+    # tests/test_torch_parity.py.
+    ln = params["backbone_ln"]
+    return [_layer_norm(states[i - 1], ln) for i in cfg.out_layers]
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +155,34 @@ def _residual_unit(x, p):
     return x + h
 
 
+@functools.lru_cache(maxsize=64)
+def _ac_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix, align_corners=True
+    (torch F.interpolate(..., align_corners=True) semantics: src coordinate
+    i*(n_in-1)/(n_out-1))."""
+    if n_out == 1:
+        idx = np.zeros(1)
+    else:
+        idx = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(idx).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (idx - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), lo] += 1.0 - frac
+    m[np.arange(n_out), hi] += frac
+    return jnp.asarray(m)
+
+
+def _resize_ac(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """NHWC bilinear resize with align_corners=True (the DPT fusion/head
+    interpolations use align_corners=True — jax.image.resize implements
+    half-pixel/align_corners=False and does NOT match)."""
+    mh = _ac_matrix(x.shape[1], int(out_hw[0]))
+    mw = _ac_matrix(x.shape[2], int(out_hw[1]))
+    x = jnp.einsum("ph,bhwc->bpwc", mh, x)
+    return jnp.einsum("qw,bpwc->bpqc", mw, x)
+
+
 def depth_head(params, cfg: DAConfig, hidden_states, grid_hw, out_hw):
     gh, gw = grid_hw
     feats = []
@@ -165,11 +199,15 @@ def depth_head(params, cfg: DAConfig, hidden_states, grid_hw, out_hw):
         f = _conv(f, params["neck_convs"][i]["w"], None)  # 3x3, no bias (HF)
         feats.append(f)
 
-    # top-down fusion, deepest first (HF DepthAnythingFeatureFusionLayer:
-    # x = x + res1(feat); x = res2(x); ×2 upsample; 1×1 projection)
+    # top-down fusion, deepest first (HF DepthAnythingFeatureFusionStage
+    # REVERSES the features, so fusion layer 0 pairs with the DEEPEST
+    # feature; each layer: x = x + res1(feat); x = res2(x);
+    # align_corners=True upsample; 1x1 projection). All verified against
+    # transformers.DepthAnythingForDepthEstimation in
+    # tests/test_torch_parity.py.
     x = None
     for i in reversed(range(4)):
-        p = params["fusion"][i]
+        p = params["fusion"][3 - i]  # HF layers.0 <-> deepest feature
         if x is None:
             x = _residual_unit(feats[i], p["res2"])
         else:
@@ -182,11 +220,11 @@ def depth_head(params, cfg: DAConfig, hidden_states, grid_hw, out_hw):
             target = (feats[i - 1].shape[1], feats[i - 1].shape[2])
         else:
             target = (x.shape[1] * 2, x.shape[2] * 2)
-        x = jax.image.resize(x, (x.shape[0], *target, x.shape[3]), "bilinear")
+        x = _resize_ac(x, target)
         x = _conv(x, p["proj_w"], p["proj_b"])
 
     h = _conv(x, params["head"]["conv1_w"], params["head"]["conv1_b"])
-    h = jax.image.resize(h, (h.shape[0], *out_hw, h.shape[3]), "bilinear")
+    h = _resize_ac(h, out_hw)
     h = jax.nn.relu(_conv(h, params["head"]["conv2_w"], params["head"]["conv2_b"]))
     h = jax.nn.relu(_conv(h, params["head"]["conv3_w"], params["head"]["conv3_b"]))
     return h[..., 0]  # (B, H, W) relative depth
@@ -312,6 +350,10 @@ def convert_hf_state_dict(sd, cfg: DAConfig = SMALL) -> Dict:
         "patch_embed_b": arr("backbone.embeddings.patch_embeddings.projection.bias"),
         "cls_token": arr("backbone.embeddings.cls_token")[0],
         "pos_embed": arr("backbone.embeddings.position_embeddings"),
+        "backbone_ln": {
+            "scale": arr("backbone.layernorm.weight"),
+            "bias": arr("backbone.layernorm.bias"),
+        },
         "blocks": blocks,
         "reassemble": reassemble,
         "neck_convs": neck_convs,
@@ -386,6 +428,7 @@ def _init_params_impl(key: jax.Array, cfg: DAConfig = SMALL) -> Dict:
         "patch_embed_b": jnp.zeros(d),
         "cls_token": nrm((1, d)),
         "pos_embed": nrm((1, 1 + cfg.pos_grid**2, d)),
+        "backbone_ln": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
         "blocks": blocks,
         "reassemble": reassemble,
         "neck_convs": [{"w": nrm((3, 3, c, f))} for c in cfg.neck_dims],

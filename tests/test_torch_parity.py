@@ -441,3 +441,147 @@ class TestClipFullTowerParity:
             want = hf(input_ids=torch.from_numpy(tokens)).text_embeds.numpy()
         got = np.asarray(clip_text.encode_tokens(params, jnp.asarray(tokens)))
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestGhiasiFullModelParity:
+    """Full Ghiasi transformer vs a functional torch mirror of the
+    published architecture (Ghiasi et al. 2017; reference
+    text/subnetworks/ghiasi_img_transformer.py:15-220): reflection-pad
+    convs + instance norm, FiLM style modulation from Linear(100, C),
+    nearest 2x upsampling, final sigmoid. Proves ghiasi_convert +
+    models/ghiasi.apply end to end on random weights."""
+
+    @staticmethod
+    def _state_dict():
+        g = torch.Generator().manual_seed(3)
+
+        def t(*shape, scale=0.2):
+            return torch.randn(*shape, generator=g) * scale
+
+        sd = {}
+        enc = [(0, 3, 32, 9), (1, 32, 64, 3), (2, 64, 128, 3)]
+        for i, cin, cout, k in enc:
+            sd[f"layers.{i}.conv.weight"] = t(cout, cin, k, k)
+            sd[f"layers.{i}.conv.bias"] = t(cout)
+        for i in range(3, 8):
+            for c in ("conv1", "conv2"):
+                sd[f"layers.{i}.{c}.weight"] = t(128, 128, 3, 3)
+                sd[f"layers.{i}.{c}.bias"] = t(128)
+            for fc in ("fc_gamma1", "fc_beta1", "fc_gamma2", "fc_beta2"):
+                sd[f"layers.{i}.{fc}.weight"] = t(128, 100)
+                sd[f"layers.{i}.{fc}.bias"] = t(128)
+        dec = [(8, 128, 64, 3), (9, 64, 32, 3), (10, 32, 3, 9)]
+        for i, cin, cout, k in dec:
+            sd[f"layers.{i}.conv.weight"] = t(cout, cin, k, k)
+            sd[f"layers.{i}.conv.bias"] = t(cout)
+            sd[f"layers.{i}.fc_gamma.weight"] = t(cout, 100)
+            sd[f"layers.{i}.fc_gamma.bias"] = t(cout)
+            sd[f"layers.{i}.fc_beta.weight"] = t(cout, 100)
+            sd[f"layers.{i}.fc_beta.bias"] = t(cout)
+        return sd
+
+    @staticmethod
+    def _torch_forward(sd, x, style):
+        def conv(x, pre, stride, k):
+            x = F.pad(x, (k // 2,) * 4, mode="reflect")
+            return F.conv2d(x, sd[f"{pre}.weight"], sd[f"{pre}.bias"], stride)
+
+        def film(x, pre, style):
+            gamma = style @ sd[f"{pre}.fc_gamma.weight"].T + sd[f"{pre}.fc_gamma.bias"]
+            beta = style @ sd[f"{pre}.fc_beta.weight"].T + sd[f"{pre}.fc_beta.bias"]
+            return gamma[:, :, None, None] * x + beta[:, :, None, None]
+
+        inorm = F.instance_norm
+        for i, stride, k in ((0, 1, 9), (1, 2, 3), (2, 2, 3)):
+            x = F.relu(inorm(conv(x, f"layers.{i}.conv", stride, k)))
+        for i in range(3, 8):
+            p = f"layers.{i}"
+            y = inorm(conv(x, f"{p}.conv1", 1, 3))
+            g1 = style @ sd[f"{p}.fc_gamma1.weight"].T + sd[f"{p}.fc_gamma1.bias"]
+            b1 = style @ sd[f"{p}.fc_beta1.weight"].T + sd[f"{p}.fc_beta1.bias"]
+            y = F.relu(g1[:, :, None, None] * y + b1[:, :, None, None])
+            y = inorm(conv(y, f"{p}.conv2", 1, 3))
+            g2 = style @ sd[f"{p}.fc_gamma2.weight"].T + sd[f"{p}.fc_gamma2.bias"]
+            b2 = style @ sd[f"{p}.fc_beta2.weight"].T + sd[f"{p}.fc_beta2.bias"]
+            x = x + g2[:, :, None, None] * y + b2[:, :, None, None]
+        for i, up, k, act in ((8, True, 3, True), (9, True, 3, True), (10, False, 9, False)):
+            p = f"layers.{i}"
+            if up:
+                x = F.interpolate(x, scale_factor=2, mode="nearest")
+            x = film(inorm(conv(x, f"{p}.conv", 1, k)), p, style)
+            if act:
+                x = F.relu(x)
+        return torch.sigmoid(x)
+
+    def test_full_forward_matches(self):
+        from tbist_tpu.models import ghiasi
+        from tbist_tpu.weights import ghiasi_convert
+
+        sd = self._state_dict()
+        torch.manual_seed(4)
+        x = torch.rand(2, 3, 32, 32)
+        style = torch.randn(2, 100) * 0.5
+        with torch.no_grad():
+            want = self._torch_forward(sd, x, style).numpy()
+
+        params = ghiasi_convert.convert_ghiasi(
+            {k: v.numpy() for k, v in sd.items()}
+        )
+        got = np.asarray(
+            ghiasi.apply(
+                params,
+                _j(x.permute(0, 2, 3, 1)),
+                _j(style),
+            )
+        ).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+class TestDepthAnythingFullModelParity:
+    """Full DINOv2 encoder + DPT neck/head vs a tiny random
+    transformers.DepthAnythingForDepthEstimation. Certifies
+    convert_hf_state_dict + encode + depth_head end to end (backbone
+    final-LN tapping, fusion layer ordering, align_corners=True
+    interpolations, transposed-conv layout)."""
+
+    def _models(self):
+        transformers = pytest.importorskip("transformers")
+
+        from tbist_tpu.models import depth_anything as da
+
+        torch.manual_seed(11)
+        backbone = transformers.Dinov2Config(
+            hidden_size=32, num_hidden_layers=4, num_attention_heads=4,
+            mlp_ratio=2, patch_size=14, image_size=56,
+            out_indices=[1, 2, 3, 4], reshape_hidden_states=False,
+        )
+        hf_cfg = transformers.DepthAnythingConfig(
+            backbone_config=backbone, patch_size=14,
+            reassemble_hidden_size=32, reassemble_factors=[4, 2, 1, 0.5],
+            neck_hidden_sizes=[8, 16, 32, 32], fusion_hidden_size=16,
+            head_hidden_size=8,
+        )
+        hf = transformers.DepthAnythingForDepthEstimation(hf_cfg).eval()
+        cfg = da.DAConfig(
+            patch=14, width=32, layers=4, heads=4, mlp_ratio=2,
+            out_layers=(1, 2, 3, 4), neck_dims=(8, 16, 32, 32), fusion=16,
+            head_hidden=8, pos_grid=4, input_size=56,
+        )
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+        params = da.convert_hf_state_dict(sd, cfg)
+        return hf, cfg, params, da
+
+    def test_predicted_depth_matches(self):
+        hf, cfg, params, da = self._models()
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((1, 56, 56, 3)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            want = hf(
+                pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ).predicted_depth.numpy()  # (1, 56, 56)
+
+        hidden = da.encode(params, cfg, jnp.asarray(x))
+        got = np.asarray(
+            da.depth_head(params, cfg, hidden, (4, 4), (56, 56))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
