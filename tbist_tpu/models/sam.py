@@ -339,7 +339,9 @@ def predict_boxes(
     emb = _encode_jit(params, cfg, x)
 
     boxes = np.asarray(boxes_xyxy, np.float32) * scale
-    boxes01 = boxes / cfg.img_size  # normalized against the PADDED square
+    # +0.5 shifts coords to pixel centers before normalizing against the
+    # PADDED square (SamPromptEncoder._embed_boxes: `boxes = boxes + 0.5`)
+    boxes01 = (boxes + 0.5) / cfg.img_size
     logits = _decode_jit(params, cfg, emb, jnp.asarray(boxes01))  # (N, 256, 256)
 
     # upscale to padded 1024, crop the un-padded region, resize to original

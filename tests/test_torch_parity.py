@@ -585,3 +585,233 @@ class TestDepthAnythingFullModelParity:
             da.depth_head(params, cfg, hidden, (4, 4), (56, 56))
         )
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestSwinFullModelParity:
+    """Full tiny Swin vs transformers.SwinModel: patch embed, shifted
+    windows, patch-merging concat order, relative bias, final layernorm.
+    HF weights are re-keyed into the official (GroundingDINO) naming that
+    swin.convert_torch_state_dict reads, so the converter is on the path."""
+
+    def test_last_stage_features_match(self):
+        transformers = pytest.importorskip("transformers")
+
+        from tbist_tpu.models import swin as swin_mod
+
+        torch.manual_seed(12)
+        # image 64 keeps every stage grid LARGER than the window: at
+        # grid == window HF's classification Swin disables the shift while
+        # the detection Swin (used by GroundingDINO, what we implement)
+        # keeps shifting with the wraparound mask — a real variant
+        # difference, not a bug
+        hf_cfg = transformers.SwinConfig(
+            image_size=64, patch_size=4, embed_dim=16, depths=[2, 2],
+            num_heads=[2, 4], window_size=4, mlp_ratio=2.0,
+            drop_path_rate=0.0, use_absolute_embeddings=False,
+        )
+        hf = transformers.SwinModel(hf_cfg, add_pooling_layer=False).eval()
+        hsd = hf.state_dict()
+
+        # re-key HF naming -> official Swin naming (what GroundingDINO
+        # checkpoints use and our converter expects)
+        sd = {
+            "patch_embed.proj.weight": hsd["embeddings.patch_embeddings.projection.weight"],
+            "patch_embed.proj.bias": hsd["embeddings.patch_embeddings.projection.bias"],
+            "patch_embed.norm.weight": hsd["embeddings.norm.weight"],
+            "patch_embed.norm.bias": hsd["embeddings.norm.bias"],
+            # our tap point for the last stage == where HF applies its
+            # final layernorm; expose it as the stage-1 out-norm
+            "norm1.weight": hsd["layernorm.weight"],
+            "norm1.bias": hsd["layernorm.bias"],
+        }
+        for s, depth in enumerate([2, 2]):
+            for b in range(depth):
+                h = f"encoder.layers.{s}.blocks.{b}"
+                o = f"layers.{s}.blocks.{b}"
+                sd[f"{o}.norm1.weight"] = hsd[f"{h}.layernorm_before.weight"]
+                sd[f"{o}.norm1.bias"] = hsd[f"{h}.layernorm_before.bias"]
+                sd[f"{o}.norm2.weight"] = hsd[f"{h}.layernorm_after.weight"]
+                sd[f"{o}.norm2.bias"] = hsd[f"{h}.layernorm_after.bias"]
+                sd[f"{o}.attn.qkv.weight"] = torch.cat(
+                    [hsd[f"{h}.attention.self.{p}.weight"] for p in ("query", "key", "value")], 0
+                )
+                sd[f"{o}.attn.qkv.bias"] = torch.cat(
+                    [hsd[f"{h}.attention.self.{p}.bias"] for p in ("query", "key", "value")], 0
+                )
+                sd[f"{o}.attn.proj.weight"] = hsd[f"{h}.attention.output.dense.weight"]
+                sd[f"{o}.attn.proj.bias"] = hsd[f"{h}.attention.output.dense.bias"]
+                sd[f"{o}.attn.relative_position_bias_table"] = hsd[
+                    f"{h}.attention.self.relative_position_bias_table"
+                ]
+                sd[f"{o}.mlp.fc1.weight"] = hsd[f"{h}.intermediate.dense.weight"]
+                sd[f"{o}.mlp.fc1.bias"] = hsd[f"{h}.intermediate.dense.bias"]
+                sd[f"{o}.mlp.fc2.weight"] = hsd[f"{h}.output.dense.weight"]
+                sd[f"{o}.mlp.fc2.bias"] = hsd[f"{h}.output.dense.bias"]
+        sd["layers.0.downsample.reduction.weight"] = hsd[
+            "encoder.layers.0.downsample.reduction.weight"
+        ]
+        sd["layers.0.downsample.norm.weight"] = hsd["encoder.layers.0.downsample.norm.weight"]
+        sd["layers.0.downsample.norm.bias"] = hsd["encoder.layers.0.downsample.norm.bias"]
+
+        cfg = swin_mod.SwinConfig(
+            embed_dim=16, depths=(2, 2), heads=(2, 4), window=4,
+            mlp_ratio=2, out_indices=(1,),
+        )
+        params = swin_mod.convert_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, prefix="", cfg=cfg
+        )
+
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            want = hf(
+                pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ).last_hidden_state.numpy()  # (B, tokens, C) after final LN
+        outs = swin_mod.forward(params, cfg, jnp.asarray(x))
+        got = np.asarray(outs[0]).reshape(1, -1, want.shape[-1])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestSamFullModelParity:
+    """Full tiny SAM vs transformers.SamModel: windowed/global rel-pos ViT
+    encoder + neck, box prompt encoding (+0.5 pixel-center shift), two-way
+    decoder, upscaling and hypernetwork. HF weights are re-keyed into the
+    original segment_anything naming that convert_sam_state_dict reads."""
+
+    def _models(self):
+        transformers = pytest.importorskip("transformers")
+
+        from tbist_tpu.models import sam as sam_mod
+
+        torch.manual_seed(13)
+        hf_cfg = transformers.SamConfig(
+            vision_config=dict(
+                hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                image_size=64, patch_size=8, window_size=4,
+                global_attn_indexes=[1], output_channels=32, mlp_dim=64,
+                num_pos_feats=16,  # PE dim = 2*16 = decoder hidden 32
+            ),
+            prompt_encoder_config=dict(
+                hidden_size=32, image_size=64, patch_size=8,
+                mask_input_channels=4,  # -> image_embedding_size 64/8 = 8
+            ),
+            mask_decoder_config=dict(
+                hidden_size=32, num_attention_heads=4, mlp_dim=64,
+                iou_head_hidden_dim=16,
+            ),
+        )
+        hf = transformers.SamModel(hf_cfg).eval()
+        hsd = hf.state_dict()
+
+        ren = {}  # HF name -> original segment_anything name
+        ren["vision_encoder.patch_embed.projection.weight"] = "image_encoder.patch_embed.proj.weight"
+        ren["vision_encoder.patch_embed.projection.bias"] = "image_encoder.patch_embed.proj.bias"
+        ren["vision_encoder.pos_embed"] = "image_encoder.pos_embed"
+        for i in range(2):
+            h, o = f"vision_encoder.layers.{i}", f"image_encoder.blocks.{i}"
+            for a, b in [
+                ("layer_norm1", "norm1"), ("layer_norm2", "norm2"),
+                ("attn.qkv", "attn.qkv"), ("attn.proj", "attn.proj"),
+                ("mlp.lin1", "mlp.lin1"), ("mlp.lin2", "mlp.lin2"),
+            ]:
+                ren[f"{h}.{a}.weight"] = f"{o}.{b}.weight"
+                ren[f"{h}.{a}.bias"] = f"{o}.{b}.bias"
+            ren[f"{h}.attn.rel_pos_h"] = f"{o}.attn.rel_pos_h"
+            ren[f"{h}.attn.rel_pos_w"] = f"{o}.attn.rel_pos_w"
+        ren["vision_encoder.neck.conv1.weight"] = "image_encoder.neck.0.weight"
+        ren["vision_encoder.neck.layer_norm1.weight"] = "image_encoder.neck.1.weight"
+        ren["vision_encoder.neck.layer_norm1.bias"] = "image_encoder.neck.1.bias"
+        ren["vision_encoder.neck.conv2.weight"] = "image_encoder.neck.2.weight"
+        ren["vision_encoder.neck.layer_norm2.weight"] = "image_encoder.neck.3.weight"
+        ren["vision_encoder.neck.layer_norm2.bias"] = "image_encoder.neck.3.bias"
+        ren["shared_image_embedding.positional_embedding"] = (
+            "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"
+        )
+        for i in range(4):
+            ren[f"prompt_encoder.point_embed.{i}.weight"] = (
+                f"prompt_encoder.point_embeddings.{i}.weight"
+            )
+        ren["prompt_encoder.no_mask_embed.weight"] = "prompt_encoder.no_mask_embed.weight"
+        ren["mask_decoder.iou_token.weight"] = "mask_decoder.iou_token.weight"
+        ren["mask_decoder.mask_tokens.weight"] = "mask_decoder.mask_tokens.weight"
+        for i in range(2):
+            h = f"mask_decoder.transformer.layers.{i}"
+            for attn in ("self_attn", "cross_attn_token_to_image", "cross_attn_image_to_token"):
+                for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                    ren[f"{h}.{attn}.{p}.weight"] = f"{h}.{attn}.{p}.weight"
+                    ren[f"{h}.{attn}.{p}.bias"] = f"{h}.{attn}.{p}.bias"
+            for j in range(1, 5):
+                ren[f"{h}.layer_norm{j}.weight"] = f"{h}.norm{j}.weight"
+                ren[f"{h}.layer_norm{j}.bias"] = f"{h}.norm{j}.bias"
+            ren[f"{h}.mlp.lin1.weight"] = f"{h}.mlp.lin1.weight"
+            ren[f"{h}.mlp.lin1.bias"] = f"{h}.mlp.lin1.bias"
+            ren[f"{h}.mlp.lin2.weight"] = f"{h}.mlp.lin2.weight"
+            ren[f"{h}.mlp.lin2.bias"] = f"{h}.mlp.lin2.bias"
+        for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            ren[f"mask_decoder.transformer.final_attn_token_to_image.{p}.weight"] = (
+                f"mask_decoder.transformer.final_attn_token_to_image.{p}.weight"
+            )
+            ren[f"mask_decoder.transformer.final_attn_token_to_image.{p}.bias"] = (
+                f"mask_decoder.transformer.final_attn_token_to_image.{p}.bias"
+            )
+        ren["mask_decoder.transformer.layer_norm_final_attn.weight"] = (
+            "mask_decoder.transformer.norm_final_attn.weight"
+        )
+        ren["mask_decoder.transformer.layer_norm_final_attn.bias"] = (
+            "mask_decoder.transformer.norm_final_attn.bias"
+        )
+        ren["mask_decoder.upscale_conv1.weight"] = "mask_decoder.output_upscaling.0.weight"
+        ren["mask_decoder.upscale_conv1.bias"] = "mask_decoder.output_upscaling.0.bias"
+        ren["mask_decoder.upscale_layer_norm.weight"] = "mask_decoder.output_upscaling.1.weight"
+        ren["mask_decoder.upscale_layer_norm.bias"] = "mask_decoder.output_upscaling.1.bias"
+        ren["mask_decoder.upscale_conv2.weight"] = "mask_decoder.output_upscaling.3.weight"
+        ren["mask_decoder.upscale_conv2.bias"] = "mask_decoder.output_upscaling.3.bias"
+        for t in range(4):
+            h = f"mask_decoder.output_hypernetworks_mlps.{t}"
+            o = f"mask_decoder.output_hypernetworks_mlps.{t}"
+            ren[f"{h}.proj_in.weight"] = f"{o}.layers.0.weight"
+            ren[f"{h}.proj_in.bias"] = f"{o}.layers.0.bias"
+            ren[f"{h}.layers.0.weight"] = f"{o}.layers.1.weight"
+            ren[f"{h}.layers.0.bias"] = f"{o}.layers.1.bias"
+            ren[f"{h}.proj_out.weight"] = f"{o}.layers.2.weight"
+            ren[f"{h}.proj_out.bias"] = f"{o}.layers.2.bias"
+
+        sd = {new: hsd[old].numpy() for old, new in ren.items()}
+        cfg = sam_mod.SamConfig(
+            img_size=64, patch=8, width=32, layers=2, heads=4, window=4,
+            global_layers=(1,), embed_dim=32, decoder_heads=4,
+            decoder_layers=2, mlp_dim=64, num_mask_tokens=4,
+        )
+        params = sam_mod.convert_sam_state_dict(sd, cfg)
+        return hf, cfg, params, sam_mod
+
+    def test_vision_encoder_matches(self):
+        hf, cfg, params, sam_mod = self._models()
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            want = hf.vision_encoder(
+                torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ).last_hidden_state.numpy()  # (1, C, 8, 8)
+        got = np.asarray(sam_mod.encode_image(params, cfg, jnp.asarray(x)))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-4)
+
+    def test_box_to_mask_logits_match(self):
+        hf, cfg, params, sam_mod = self._models()
+        rng = np.random.default_rng(10)
+        x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32) * 0.5
+        boxes = np.asarray([[[8.0, 12.0, 44.0, 52.0]]], np.float32)  # (1,1,4)
+        with torch.no_grad():
+            out = hf(
+                pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                input_boxes=torch.from_numpy(boxes),
+                multimask_output=False,
+            )
+        want = out.pred_masks.numpy()[0, 0, 0]  # (32, 32) low-res logits
+
+        emb = sam_mod.encode_image(params, cfg, jnp.asarray(x))
+        boxes01 = (boxes[0] + 0.5) / cfg.img_size  # pixel-center shift
+        got = np.asarray(
+            sam_mod.decode_masks(params, cfg, emb, jnp.asarray(boxes01))
+        )[0]
+        np.testing.assert_allclose(got, want, atol=2e-4)
