@@ -193,7 +193,11 @@ def deformable_attention(
 
 def bi_attention(img, text, text_mask, p, cfg: DinoConfig):
     """BiMultiHeadAttention: joint attention map, image->text and
-    text->image updates with per-branch LN + learned layer-scale gammas."""
+    text->image updates with per-branch LN + learned layer-scale gammas.
+
+    NOTE the residual connections add onto the LAYER-NORMED features (the
+    un-normed inputs are discarded) — official BiAttentionBlock semantics,
+    verified against transformers.GroundingDinoFusionLayer."""
     b, li, d = img.shape
     lt = text.shape[1]
     h = cfg.fusion_heads
@@ -226,8 +230,8 @@ def bi_attention(img, text, text_mask, p, cfg: DinoConfig):
     dt = jnp.einsum("bhti,bhid->bhtd", attn_t, vvh)
     di = di.transpose(0, 2, 1, 3).reshape(b, li, cfg.fusion_dim)
     dt = dt.transpose(0, 2, 1, 3).reshape(b, lt, cfg.fusion_dim)
-    img = img + p["gamma_v"] * (di @ p["out_v_w"] + p["out_v_b"])
-    text = text + p["gamma_l"] * (dt @ p["out_l_w"] + p["out_l_b"])
+    img = vi + p["gamma_v"] * (di @ p["out_v_w"] + p["out_v_b"])
+    text = tx + p["gamma_l"] * (dt @ p["out_l_w"] + p["out_l_b"])
     return img, text
 
 
@@ -270,9 +274,56 @@ def _sine_pos_1d(coords: jnp.ndarray, d: int = 128, temp: float = 10000.0):
 
 
 def _box_pe(boxes: jnp.ndarray, d_model: int) -> jnp.ndarray:
-    """cxcywh (..., 4) -> (..., 2*d_model) sine embedding (x,y,w,h each d/2)."""
-    parts = [_sine_pos_1d(boxes[..., i], d_model // 2) for i in range(4)]
+    """cxcywh (..., 4) -> (..., 2*d_model) sine embedding.
+
+    Coordinate order is [pos(y), pos(x), pos(w), pos(h)] — the official
+    gen_sineembed_for_position / HF get_sine_pos_embed(exchange_xy=True)
+    swap x and y in the output."""
+    parts = [_sine_pos_1d(boxes[..., i], d_model // 2) for i in (1, 0, 2, 3)]
     return jnp.concatenate(parts, -1)
+
+
+# [CLS], [SEP], '.', '?' in the bert-base-uncased vocab — the tokens that
+# close a sub-sentence block (official groundingdino.get_tokenlizer /
+# transformers grounding_dino SPECIAL_TOKENS).
+SPECIAL_TOKEN_IDS = (101, 102, 1012, 1029)
+
+
+def build_text_token_masks(
+    input_ids: jnp.ndarray, special_ids=SPECIAL_TOKEN_IDS
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sub-sentence self-attention masks + restarted position ids.
+
+    Vectorized (jit-compatible) equivalent of the official
+    ``generate_masks_with_special_tokens_and_transfer_map``: tokens between
+    consecutive special tokens attend only within their block (including
+    the closing special token); a special token at position 0 or T-1 only
+    attends to itself; position ids restart at 0 inside each block.
+    Returns (attend (B, T, T) bool, position_ids (B, T) int32).
+    """
+    b, t = input_ids.shape
+    special = jnp.zeros((b, t), bool)
+    for sid in special_ids:
+        special = special | (input_ids == sid)
+    # position 0 is an implicit block boundary (the official loop starts
+    # previous_col = 0): the first block always begins at position 1
+    special = special.at[:, 0].set(True)
+    idx = jnp.arange(t)
+
+    # next special at-or-after i (t if none); previous special strictly
+    # before i (-1 if none)
+    nxt = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(special, idx, t), -1), axis=1), -1
+    )
+    prev = jax.lax.cummax(jnp.where(special, idx, -1), axis=1)
+    prev = jnp.concatenate([jnp.full((b, 1), -1, prev.dtype), prev[:, :-1]], -1)
+
+    # a block is only "closed" by a special token at an interior position
+    interior = (nxt > 0) & (nxt < t - 1)
+    attend = (nxt[:, :, None] == nxt[:, None, :]) & interior[:, :, None]
+    attend = attend | jnp.eye(t, dtype=bool)[None]
+    position_ids = jnp.where(interior, idx[None] - prev - 1, 0).astype(jnp.int32)
+    return attend, position_ids
 
 
 def _mlp(x, layers, act=jax.nn.relu):
@@ -316,8 +367,10 @@ def forward(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + params["input_proj"][i]["b"]
         srcs.append(_group_norm(x, params["input_proj"][i]["gn"]))
+    # torch Conv2d(k=3, s=2, p=1) pads 1 on BOTH sides; lax "SAME" at
+    # stride 2 would pad (0, 1) and sample different windows
     extra = jax.lax.conv_general_dilated(
-        feats[-1], params["input_proj"][3]["w"], (2, 2), "SAME",
+        feats[-1], params["input_proj"][3]["w"], (2, 2), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + params["input_proj"][3]["b"]
     srcs.append(_group_norm(extra, params["input_proj"][3]["gn"]))
@@ -334,13 +387,27 @@ def forward(
     )
 
     # ---- text encoder ----
+    # Sub-sentence attention: blocks between special tokens with restarted
+    # position ids (official generate_masks_with_special_tokens_and_
+    # transfer_map) — applied in BERT and in every text-enhancer layer.
+    text_self_attend, position_ids = build_text_token_masks(input_ids)
+    text_self_bias = (
+        1.0 - text_self_attend.astype(jnp.float32)[:, None]
+    ) * -1e9  # (B, 1, T, T)
     text_h = bert_lib.forward(
-        params["bert"], bert_cfg, input_ids, text_mask.astype(jnp.float32)
+        params["bert"],
+        bert_cfg,
+        input_ids,
+        text_mask.astype(jnp.float32),
+        position_ids=position_ids,
+        attention_bias=text_self_bias,
     )
     text = text_h @ params["feat_map_w"] + params["feat_map_b"]  # (B, T, 256)
     tmaskf = text_mask.astype(jnp.float32)
     t = text.shape[1]
-    text_pos = _sine_pos_1d(jnp.arange(t, dtype=jnp.float32) / t, cfg.d_model)[None]
+    # sine embedding of the RAW restarted position ids (temperature 10000,
+    # d_model feats) — official get_sine_pos_embed, NOT normalized arange
+    text_pos = _sine_pos_1d(position_ids.astype(jnp.float32), cfg.d_model)
 
     # ---- encoder ----
     img = src_flat
@@ -360,10 +427,10 @@ def forward(
 
         tl = params["text_layers"][li]
         q = text + text_pos
-        # text-enhance layers use nhead//2 = 4 heads (official TextTransformer)
+        # text-enhance layers use nhead//2 heads (official TextTransformer)
+        # and the sub-sentence block mask, not the padding mask
         text = text + _mha(
-            q, q, text, tl["self_attn"], 4,
-            bias=(1.0 - tmaskf[:, None, None, :]) * -1e9,
+            q, q, text, tl["self_attn"], cfg.heads // 2, bias=text_self_bias
         )
         text = _layer_norm(text, tl["ln1"])
         hft = jax.nn.relu(text @ tl["fc1_w"] + tl["fc1_b"])
@@ -379,18 +446,11 @@ def forward(
         img = _layer_norm(img + (hfi @ el["fc2_w"] + el["fc2_b"]), el["ln2"])
 
     # ---- language-guided query selection ----
-    enc_out = _layer_norm(
-        src_flat_out := (img @ params["enc_output_w"] + params["enc_output_b"]),
-        params["enc_output_ln"],
-    )
-    # contrastive scores vs text (max over text tokens)
-    sim = jnp.einsum("bld,btd->blt", enc_out, text)
-    sim = jnp.where(tmaskf[:, None, :] > 0, sim, -jnp.inf)
-    scores = jnp.max(sim, -1)  # (B, Lv)
-    topk = jnp.argsort(scores, axis=-1)[:, ::-1][:, : cfg.num_queries]
-
-    sel = jnp.take_along_axis(enc_out, topk[..., None], axis=1)  # (B, 900, 256)
-    # initial boxes: anchor (ref point + level-dependent size) + delta
+    # anchors: grid centers + level-dependent size, INTERIOR-valid only
+    # (coords within (0.01, 0.99) — generate_encoder_output_proposals);
+    # invalid anchors get +inf logits (box -> 1.0) and their image tokens
+    # are zeroed before the enc_output projection, exactly as the official
+    # masked_fill(~valid, 0.0) does.
     anchors = []
     for lvl, (h, w) in enumerate(spatial_shapes):
         ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
@@ -400,17 +460,36 @@ def forward(
         anchors.append(
             jnp.concatenate([jnp.stack([gx, gy], -1).reshape(-1, 2), wh], -1)
         )
-    anchors = jnp.concatenate(anchors, 0)[None]
-    anchors = jnp.broadcast_to(anchors, (b, anchors.shape[1], 4))
-    sel_anchor = jnp.take_along_axis(anchors, topk[..., None], axis=1)
+    anchors = jnp.concatenate(anchors, 0)  # (Lv, 4) in sigmoid space
+    anchor_valid = jnp.all((anchors > 0.01) & (anchors < 0.99), -1)  # (Lv,)
+    anchor_logits = jnp.where(
+        anchor_valid[:, None], jnp.log(anchors / (1.0 - anchors)), jnp.inf
+    )[None]
+    anchor_logits = jnp.broadcast_to(anchor_logits, (b, anchors.shape[0], 4))
+
+    enc_out = _layer_norm(
+        jnp.where(anchor_valid[None, :, None], img, 0.0)
+        @ params["enc_output_w"]
+        + params["enc_output_b"],
+        params["enc_output_ln"],
+    )
+    # contrastive scores vs text (max over text tokens)
+    sim = jnp.einsum("bld,btd->blt", enc_out, text)
+    sim = jnp.where(tmaskf[:, None, :] > 0, sim, -jnp.inf)
+    scores = jnp.max(sim, -1)  # (B, Lv)
+    topk = jnp.argsort(scores, axis=-1)[:, ::-1][:, : cfg.num_queries]
+
+    sel = jnp.take_along_axis(enc_out, topk[..., None], axis=1)  # (B, 900, 256)
+    sel_anchor_logits = jnp.take_along_axis(anchor_logits, topk[..., None], axis=1)
     delta = _mlp(sel, params["enc_bbox_mlp"])
-    ref_boxes = jax.nn.sigmoid(delta + _inverse_sigmoid(sel_anchor))  # (B, 900, 4)
+    ref_boxes = jax.nn.sigmoid(delta + sel_anchor_logits)  # (B, 900, 4)
 
     queries = jnp.broadcast_to(
         params["tgt_embed"][None], (b, cfg.num_queries, cfg.d_model)
     )
 
     # ---- decoder ----
+    ref_prev = ref_boxes  # refs INPUT to the last layer (final box head)
     for li in range(cfg.dec_layers):
         dl = params["dec_layers"][li]
         qpe = _mlp(_box_pe(ref_boxes, cfg.d_model), params["ref_point_head"])
@@ -431,17 +510,27 @@ def forward(
         queries = _layer_norm(queries + q2, dl["ln_cross"])
         hf = jax.nn.relu(queries @ dl["fc1_w"] + dl["fc1_b"])
         queries = _layer_norm(queries + (hf @ dl["fc2_w"] + dl["fc2_b"]), dl["ln_ffn"])
-        # iterative box refinement (shared head)
+        # iterative box refinement (shared head, applied to the UN-normed
+        # layer output; refs detached in the original — a no-op here)
         delta = _mlp(queries, params["bbox_mlp"])
+        ref_prev = ref_boxes
         ref_boxes = jax.nn.sigmoid(delta + _inverse_sigmoid(ref_boxes))
 
-    # ---- outputs: contrastive logits vs text tokens (no scaling — the
-    # official ContrastiveEmbed is a plain dot product; box_threshold=0.3
-    # is calibrated against sigmoid of these logits) ----
+    # ---- outputs ----
+    # The official forward recomputes the final boxes from the LAYER-NORMED
+    # last decoder state + the refs INPUT to the last layer (groundingdino
+    # forward's outputs_coord_list; HF GroundingDinoForObjectDetection) —
+    # NOT the decoder-internal ref_boxes, which were refined from the
+    # un-normed output. Class logits = plain contrastive dot with the
+    # encoder-updated text (no scaling; box_threshold=0.3 is calibrated
+    # against sigmoid of these logits).
     queries = _layer_norm(queries, params["dec_norm"])
+    pred_boxes = jax.nn.sigmoid(
+        _mlp(queries, params["bbox_mlp"]) + _inverse_sigmoid(ref_prev)
+    )
     logits = jnp.einsum("bqd,btd->bqt", queries, text)
     logits = jnp.where(tmaskf[:, None, :] > 0, logits, -jnp.inf)
-    return {"pred_logits": logits, "pred_boxes": ref_boxes}
+    return {"pred_logits": logits, "pred_boxes": pred_boxes}
 
 
 # ---------------------------------------------------------------------------
@@ -519,11 +608,12 @@ def init_params(
         }
 
     def text_layer():
+        tf = cfg.ffn // 2  # official text enhancer FFN = encoder_ffn_dim/2
         return {
             "self_attn": mha(d),
             "ln1": ln(d), "ln2": ln(d),
-            "fc1_w": nrm((d, 1024)), "fc1_b": jnp.zeros(1024, jnp.float32),
-            "fc2_w": nrm((1024, d)), "fc2_b": jnp.zeros(d, jnp.float32),
+            "fc1_w": nrm((d, tf)), "fc1_b": jnp.zeros(tf, jnp.float32),
+            "fc2_w": nrm((tf, d)), "fc2_b": jnp.zeros(d, jnp.float32),
         }
 
     def enc_layer():

@@ -26,7 +26,12 @@ def _clean(sd) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert(sd_raw, cfg: dino_lib.DinoConfig = dino_lib.BASE) -> Dict:
+def convert(
+    sd_raw,
+    cfg: dino_lib.DinoConfig = dino_lib.BASE,
+    swin_cfg: swin_lib.SwinConfig = swin_lib.TINY,
+    bert_cfg: bert_lib.BertConfig = bert_lib.BASE,
+) -> Dict:
     sd = _clean(sd_raw)
 
     def arr(k):
@@ -145,8 +150,8 @@ def convert(sd_raw, cfg: dino_lib.DinoConfig = dino_lib.BASE) -> Dict:
         )
 
     return {
-        "swin": swin_lib.convert_torch_state_dict(sd, "backbone.0."),
-        "bert": bert_lib.convert_hf_state_dict(sd, "bert."),
+        "swin": swin_lib.convert_torch_state_dict(sd, "backbone.0.", swin_cfg),
+        "bert": bert_lib.convert_hf_state_dict(sd, "bert.", bert_cfg),
         "feat_map_w": lin_w("feat_map.weight"),
         "feat_map_b": arr("feat_map.bias"),
         "input_proj": input_proj,

@@ -815,3 +815,268 @@ class TestSamFullModelParity:
             sam_mod.decode_masks(params, cfg, emb, jnp.asarray(boxes01))
         )[0]
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestSubSentenceTextMasks:
+    """build_text_token_masks vs the authoritative HF implementation
+    (generate_masks_with_special_tokens_and_transfer_map), which mirrors the
+    official groundingdino function the reference model runs on every
+    prompt (text/subnetworks/groundingdino_text_object_detector.py:74)."""
+
+    def test_matches_hf_reference(self):
+        gd = pytest.importorskip(
+            "transformers.models.grounding_dino.modeling_grounding_dino"
+        )
+        cases = [
+            [101, 5, 6, 1012, 102],                 # [CLS] w w . [SEP]
+            [101, 5, 1012, 7, 8, 1012, 102],        # two sub-sentences
+            [101, 5, 6, 7, 102],                    # no interior special
+            [101, 1012, 1012, 102],                 # adjacent specials
+            [5, 6, 1012, 7],                        # no [CLS]/[SEP]
+            [101, 5, 6, 102, 8, 9, 1029, 102],      # '?' separator
+        ]
+        for ids in cases:
+            want_attn, want_pos = (
+                gd.generate_masks_with_special_tokens_and_transfer_map(
+                    torch.tensor([ids])
+                )
+            )
+            got_attn, got_pos = dino_lib.build_text_token_masks(
+                jnp.asarray([ids], jnp.int32)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_attn), want_attn.numpy(), err_msg=str(ids)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_pos), want_pos.numpy(), err_msg=str(ids)
+            )
+
+
+class TestGroundingDinoFullModelParity:
+    """Full tiny GroundingDINO vs transformers.GroundingDinoForObjectDetection:
+    Swin backbone + input projections + GroupNorm, BERT with sub-sentence
+    masks and restarted position ids, fusion (normed residuals) /
+    text-enhancer / deformable encoder layers, language-guided query
+    selection with proposal-validity masking, decoder with iterative box
+    refinement, and the final contrastive-logits + normed-hidden box head.
+    HF weights are re-keyed into the official groundingdino checkpoint
+    naming that weights/dino_convert.convert reads, so the production
+    converter is on the tested path end to end."""
+
+    DEPTHS = (1, 1, 1, 1)
+    ENC = DEC = 2
+
+    def _models(self):
+        transformers = pytest.importorskip("transformers")
+
+        from tbist_tpu.weights import dino_convert
+
+        torch.manual_seed(20)
+        backbone = transformers.SwinConfig(
+            image_size=128, patch_size=4, embed_dim=8, depths=list(self.DEPTHS),
+            num_heads=[1, 2, 4, 8], window_size=4, mlp_ratio=2.0,
+            drop_path_rate=0.0, use_absolute_embeddings=False,
+            out_features=["stage2", "stage3", "stage4"],
+        )
+        text = transformers.BertConfig(
+            vocab_size=1100, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        hf_cfg = transformers.GroundingDinoConfig(
+            backbone_config=backbone, text_config=text,
+            d_model=32, encoder_layers=self.ENC, decoder_layers=self.DEC,
+            encoder_attention_heads=2, decoder_attention_heads=2,
+            encoder_ffn_dim=64, decoder_ffn_dim=64, num_queries=20,
+            num_feature_levels=4, encoder_n_points=2, decoder_n_points=2,
+            dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+            fusion_dropout=0.0, fusion_droppath=0.0, text_enhancer_dropout=0.0,
+            disable_custom_kernels=True,
+        )
+        hf = transformers.GroundingDinoForObjectDetection(hf_cfg).eval()
+
+        dcfg = dino_lib.DinoConfig(
+            d_model=32, heads=2, levels=4, points=2, enc_layers=self.ENC,
+            dec_layers=self.DEC, ffn=64, num_queries=20, fusion_heads=1,
+            fusion_dim=32,
+        )
+        swin_cfg = swin_lib.SwinConfig(
+            embed_dim=8, depths=self.DEPTHS, heads=(1, 2, 4, 8), window=4,
+            mlp_ratio=2, out_indices=(1, 2, 3),
+        )
+        bert_cfg = bert_lib.BertConfig(
+            vocab=1100, hidden=32, layers=2, heads=2, ffn=64, max_pos=64
+        )
+        sd = self._rekey(hf.state_dict())
+        params = dino_convert.convert(
+            {k: v.numpy() for k, v in sd.items()}, dcfg, swin_cfg, bert_cfg
+        )
+        return hf, dcfg, swin_cfg, bert_cfg, params
+
+    def _rekey(self, hsd):
+        """HF GroundingDino state-dict -> official groundingdino naming."""
+        sd = {}
+        sw = "model.backbone.conv_encoder.model."
+        sd["backbone.0.patch_embed.proj.weight"] = hsd[
+            sw + "embeddings.patch_embeddings.projection.weight"
+        ]
+        sd["backbone.0.patch_embed.proj.bias"] = hsd[
+            sw + "embeddings.patch_embeddings.projection.bias"
+        ]
+        sd["backbone.0.patch_embed.norm.weight"] = hsd[sw + "embeddings.norm.weight"]
+        sd["backbone.0.patch_embed.norm.bias"] = hsd[sw + "embeddings.norm.bias"]
+        for s, depth in enumerate(self.DEPTHS):
+            for b in range(depth):
+                h = f"{sw}encoder.layers.{s}.blocks.{b}"
+                o = f"backbone.0.layers.{s}.blocks.{b}"
+                sd[f"{o}.norm1.weight"] = hsd[f"{h}.layernorm_before.weight"]
+                sd[f"{o}.norm1.bias"] = hsd[f"{h}.layernorm_before.bias"]
+                sd[f"{o}.norm2.weight"] = hsd[f"{h}.layernorm_after.weight"]
+                sd[f"{o}.norm2.bias"] = hsd[f"{h}.layernorm_after.bias"]
+                sd[f"{o}.attn.qkv.weight"] = torch.cat(
+                    [hsd[f"{h}.attention.self.{p}.weight"]
+                     for p in ("query", "key", "value")], 0
+                )
+                sd[f"{o}.attn.qkv.bias"] = torch.cat(
+                    [hsd[f"{h}.attention.self.{p}.bias"]
+                     for p in ("query", "key", "value")], 0
+                )
+                sd[f"{o}.attn.proj.weight"] = hsd[f"{h}.attention.output.dense.weight"]
+                sd[f"{o}.attn.proj.bias"] = hsd[f"{h}.attention.output.dense.bias"]
+                sd[f"{o}.attn.relative_position_bias_table"] = hsd[
+                    f"{h}.attention.self.relative_position_bias_table"
+                ]
+                sd[f"{o}.mlp.fc1.weight"] = hsd[f"{h}.intermediate.dense.weight"]
+                sd[f"{o}.mlp.fc1.bias"] = hsd[f"{h}.intermediate.dense.bias"]
+                sd[f"{o}.mlp.fc2.weight"] = hsd[f"{h}.output.dense.weight"]
+                sd[f"{o}.mlp.fc2.bias"] = hsd[f"{h}.output.dense.bias"]
+            if s < len(self.DEPTHS) - 1:
+                h = f"{sw}encoder.layers.{s}.downsample"
+                o = f"backbone.0.layers.{s}.downsample"
+                sd[f"{o}.reduction.weight"] = hsd[f"{h}.reduction.weight"]
+                sd[f"{o}.norm.weight"] = hsd[f"{h}.norm.weight"]
+                sd[f"{o}.norm.bias"] = hsd[f"{h}.norm.bias"]
+        for i, stage in enumerate(["stage2", "stage3", "stage4"], start=1):
+            sd[f"backbone.0.norm{i}.weight"] = hsd[
+                f"{sw}hidden_states_norms.{stage}.weight"
+            ]
+            sd[f"backbone.0.norm{i}.bias"] = hsd[
+                f"{sw}hidden_states_norms.{stage}.bias"
+            ]
+
+        for k, v in hsd.items():
+            if k.startswith("model.text_backbone."):
+                sd["bert." + k[len("model.text_backbone."):]] = v
+        sd["feat_map.weight"] = hsd["model.text_projection.weight"]
+        sd["feat_map.bias"] = hsd["model.text_projection.bias"]
+        for i in range(4):
+            for j in (0, 1):
+                for p in ("weight", "bias"):
+                    sd[f"input_proj.{i}.{j}.{p}"] = hsd[
+                        f"model.input_proj_vision.{i}.{j}.{p}"
+                    ]
+        sd["transformer.level_embed"] = hsd["model.level_embed"]
+
+        def packed_mha(dst, src):
+            sd[f"{dst}.in_proj_weight"] = torch.cat(
+                [hsd[f"{src}.{p}.weight"] for p in ("query", "key", "value")], 0
+            )
+            sd[f"{dst}.in_proj_bias"] = torch.cat(
+                [hsd[f"{src}.{p}.bias"] for p in ("query", "key", "value")], 0
+            )
+            sd[f"{dst}.out_proj.weight"] = hsd[f"{src}.out_proj.weight"]
+            sd[f"{dst}.out_proj.bias"] = hsd[f"{src}.out_proj.bias"]
+
+        def wb(dst, src):
+            sd[f"{dst}.weight"] = hsd[f"{src}.weight"]
+            sd[f"{dst}.bias"] = hsd[f"{src}.bias"]
+
+        for i in range(self.ENC):
+            h = f"model.encoder.layers.{i}"
+            f_ = f"transformer.encoder.fusion_layers.{i}"
+            wb(f"{f_}.layer_norm_v", f"{h}.fusion_layer.layer_norm_vision")
+            wb(f"{f_}.layer_norm_l", f"{h}.fusion_layer.layer_norm_text")
+            for a, b in (
+                ("v_proj", "vision_proj"), ("l_proj", "text_proj"),
+                ("values_v_proj", "values_vision_proj"),
+                ("values_l_proj", "values_text_proj"),
+                ("out_v_proj", "out_vision_proj"),
+                ("out_l_proj", "out_text_proj"),
+            ):
+                wb(f"{f_}.attn.{a}", f"{h}.fusion_layer.attn.{b}")
+            sd[f"{f_}.gamma_v"] = hsd[f"{h}.fusion_layer.vision_param"]
+            sd[f"{f_}.gamma_l"] = hsd[f"{h}.fusion_layer.text_param"]
+
+            tl = f"transformer.encoder.text_layers.{i}"
+            te = f"{h}.text_enhancer_layer"
+            packed_mha(f"{tl}.self_attn", f"{te}.self_attn")
+            wb(f"{tl}.norm1", f"{te}.layer_norm_before")
+            wb(f"{tl}.norm2", f"{te}.layer_norm_after")
+            wb(f"{tl}.linear1", f"{te}.fc1")
+            wb(f"{tl}.linear2", f"{te}.fc2")
+
+            el = f"transformer.encoder.layers.{i}"
+            de = f"{h}.deformable_layer"
+            for p in ("sampling_offsets", "attention_weights", "value_proj",
+                      "output_proj"):
+                wb(f"{el}.self_attn.{p}", f"{de}.self_attn.{p}")
+            wb(f"{el}.norm1", f"{de}.self_attn_layer_norm")
+            wb(f"{el}.linear1", f"{de}.fc1")
+            wb(f"{el}.linear2", f"{de}.fc2")
+            wb(f"{el}.norm2", f"{de}.final_layer_norm")
+
+        for i in range(self.DEC):
+            h = f"model.decoder.layers.{i}"
+            dl = f"transformer.decoder.layers.{i}"
+            packed_mha(f"{dl}.self_attn", f"{h}.self_attn")
+            packed_mha(f"{dl}.ca_text", f"{h}.encoder_attn_text")
+            for p in ("sampling_offsets", "attention_weights", "value_proj",
+                      "output_proj"):
+                wb(f"{dl}.cross_attn.{p}", f"{h}.encoder_attn.{p}")
+            wb(f"{dl}.norm2", f"{h}.self_attn_layer_norm")
+            wb(f"{dl}.catext_norm", f"{h}.encoder_attn_text_layer_norm")
+            wb(f"{dl}.norm1", f"{h}.encoder_attn_layer_norm")
+            wb(f"{dl}.norm3", f"{h}.final_layer_norm")
+            wb(f"{dl}.linear1", f"{h}.fc1")
+            wb(f"{dl}.linear2", f"{h}.fc2")
+
+        for j in range(2):
+            wb(f"transformer.decoder.ref_point_head.layers.{j}",
+               f"model.decoder.reference_points_head.layers.{j}")
+        wb("transformer.decoder.norm", "model.decoder.layer_norm")
+        wb("transformer.enc_output", "model.enc_output")
+        wb("transformer.enc_output_norm", "model.enc_output_norm")
+        for j in range(3):
+            wb(f"transformer.enc_out_bbox_embed.layers.{j}",
+               f"model.encoder_output_bbox_embed.layers.{j}")
+            wb(f"bbox_embed.0.layers.{j}", f"bbox_embed.0.layers.{j}")
+        sd["transformer.tgt_embed.weight"] = hsd[
+            "model.query_position_embeddings.weight"
+        ]
+        return sd
+
+    def test_logits_and_boxes_match(self):
+        hf, dcfg, swin_cfg, bert_cfg, params = self._models()
+        rng = np.random.default_rng(21)
+        x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32) * 0.5
+        ids = np.array([[101, 40, 41, 1012, 102]], np.int64)  # [CLS] w w . [SEP]
+        with torch.no_grad():
+            out = hf(
+                pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.ones_like(torch.from_numpy(ids)),
+            )
+        want_logits = out.logits[:, :, : ids.shape[1]].numpy()  # (1, 20, 5)
+        want_boxes = out.pred_boxes.numpy()  # (1, 20, 4)
+
+        got = dino_lib.forward(
+            params, dcfg, jnp.asarray(x), jnp.asarray(ids, jnp.int32),
+            jnp.ones_like(jnp.asarray(ids, jnp.int32)), swin_cfg, bert_cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["pred_boxes"]), want_boxes, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["pred_logits"]), want_logits, atol=5e-4
+        )
