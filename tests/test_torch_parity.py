@@ -325,6 +325,39 @@ class TestT5Parity:
                 np.asarray(logits), want[:, pos], atol=1e-4, err_msg=f"pos={pos}"
             )
 
+    def test_greedy_generate_parity(self):
+        """Full KV-cached while_loop decode == HF .generate (greedy).
+
+        End-to-end check of the loop the emoji extractor actually runs
+        (EmojiMaskExtractor.py:49 calls generate; sampling differs only in
+        the final draw): encoder, per-step cached decoder, EOS handling,
+        post-EOS pad fill, and the min-length-1 EOS suppression, batched
+        with a padded encoder input."""
+        hf, cfg, params = self._tiny()
+        rng = np.random.default_rng(3)
+        ids = rng.integers(2, 64, size=(2, 7))
+        mask = np.ones((2, 7), np.int64)
+        mask[1, 4:] = 0
+        ids[1, 4:] = 0
+        max_len = 12
+        with torch.no_grad():
+            want = hf.generate(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                do_sample=False,
+                max_new_tokens=max_len,
+                min_new_tokens=1,
+            ).numpy()[:, 1:]  # drop decoder_start token
+        got = np.asarray(
+            t5_lib.generate(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                jax.random.key(0), max_len=max_len, do_sample=False,
+            )
+        )
+        t = want.shape[1]
+        np.testing.assert_array_equal(got[:, :t], want)
+        assert np.all(got[:, t:] == cfg.pad_id)
+
 
 class TestClipAttention:
     def test_residual_attention_vs_torch_mha(self):
