@@ -163,6 +163,29 @@ def _simple_bert_tokenize(prompt: str, vocab: dict) -> List[int]:
     return ids
 
 
+def _decode_phrase(token_ids: List[int], inv_vocab: dict) -> str:
+    """HF ``tokenizer.decode`` semantics for wordpiece ids: '##' pieces
+    merge into the previous token, others join with spaces, then the
+    standard clean_up_tokenization space fixes are applied. This is what
+    the official ``get_phrases_from_posmap`` returns per box
+    (text/subnetworks/groundingdino_text_object_detector.py:94)."""
+    words: List[str] = []
+    for tid in token_ids:
+        tok = inv_vocab.get(tid, "[UNK]")
+        if tok.startswith("##") and words:
+            words[-1] += tok[2:]
+        else:
+            words.append(tok)
+    out = " ".join(words)
+    for a, b in (
+        (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","), (" ' ", "'"),
+        (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"), (" 've", "'ve"),
+        (" 're", "'re"),
+    ):
+        out = out.replace(a, b)
+    return out
+
+
 @functools.lru_cache(maxsize=1)
 def _load_vocab():
     path = os.environ.get(
@@ -251,16 +274,20 @@ def detect(
     keep = logits.max(axis=1) > BOX_THRESHOLD
     logits, boxes = logits[keep], boxes[keep]
     phrases, keep2 = [], []
-    inv_vocab = None
+    inv_vocab = {v: k for k, v in vocab.items()}
     for row in logits:
+        # get_phrases_from_posmap semantics: zero position 0 ([CLS]) and
+        # positions >= 255 only — a [SEP] or '.' above text_threshold IS
+        # part of the decoded phrase, and an empty decode drops the box
+        # (groundingdino_text_object_detector.py:92-100)
         token_keep = row > TEXT_THRESHOLD
-        # skip CLS/SEP positions
-        token_keep[0] = token_keep[-1] = False
-        if token_keep.any():
-            if inv_vocab is None:
-                inv_vocab = {v: k for k, v in vocab.items()}
-            words = [inv_vocab.get(ids[i], "?") for i in np.where(token_keep)[0]]
-            phrases.append(" ".join(words) + f"({row.max():.2f})")
+        token_keep[0] = False
+        token_keep[255:] = False
+        phrase = _decode_phrase(
+            [ids[i] for i in np.where(token_keep)[0]], inv_vocab
+        )
+        if phrase:
+            phrases.append(phrase + f"({row.max():.2f})")
             keep2.append(True)
         else:
             keep2.append(False)

@@ -101,6 +101,39 @@ class TestHFTokenizerParity:
             assert ours == theirs, (prompt, ours, theirs)
 
 
+class TestDecodePhrase:
+    """_decode_phrase == transformers.BertTokenizer.decode (the official
+    get_phrases_from_posmap returns tokenizer.decode of the kept ids,
+    groundingdino_text_object_detector.py:94)."""
+
+    WORDS = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+        "boat", ".", ",", "!", "?", "'", "sail", "##ing", "red", "thing",
+        "##s", "it", "n't", "s",
+    ]
+
+    CASES = [
+        ["boat"],
+        ["boat", "."],
+        ["red", "boat", ",", "sail", "##ing", "!"],
+        ["thing", "##s"],
+        ["sail", "##ing", "thing", "##s", "?"],
+        ["it", "'", "s"],
+        ["[SEP]"],
+    ]
+
+    def test_matches_hf_decode(self, tmp_path):
+        transformers = pytest.importorskip("transformers")
+        vocab_file = tmp_path / "vocab.txt"
+        vocab_file.write_text("\n".join(self.WORDS) + "\n")
+        hf = transformers.BertTokenizer(str(vocab_file))
+        vocab = {w: i for i, w in enumerate(self.WORDS)}
+        inv = {i: w for w, i in vocab.items()}
+        for toks in self.CASES:
+            ids = [vocab[t] for t in toks]
+            assert dino_sam._decode_phrase(ids, inv) == hf.decode(ids), toks
+
+
 class TestPreprocessImage:
     def _img(self, h=40, w=60):
         return np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
