@@ -141,7 +141,6 @@ def main(quick: bool = False, models: bool = False):
         results[f"gatys_{size}px_iters_per_sec"] = it_s
         flops = 3.0 * _vgg_flops_per_image(size, size, cfg.style_layers)
         results[f"gatys_{size}px_mfu_pct"] = 100.0 * flops * it_s / 197e12
-    cfg = GatysConfig(num_steps=steps)
 
     # 2. feed-forward text stylization latency
     g_params, m_params = text_transfer.default_params()

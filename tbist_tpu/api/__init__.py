@@ -76,6 +76,17 @@ def apply_image(
 
             reg = (registry or ModelRegistry()).ensure("emoji_extractor")
             mask = reg.emoji_extractor(t.texture_prompt)
+            if metrics is not None:
+                from tbist_tpu.utils import degraded as _degraded
+
+                flags = _degraded.flags_for(
+                    n for n in ("emoji_extractor",)
+                    if n in reg.resolved_by_loader
+                )
+                if flags:
+                    metrics.degraded = sorted(
+                        set(metrics.degraded) | set(flags)
+                    )
             return from_device(
                 jnp.repeat(mask.astype(jnp.float32)[None, ..., None], 3, -1)
             )

@@ -131,6 +131,11 @@ def main(argv=None) -> int:
             args.resume_dir, args.segment_steps,
         )
         to_pil(out).save(args.out)
+        from tbist_tpu.utils import degraded as _degraded
+
+        flags = _degraded.flags_for(["vgg_params"])
+        if flags:
+            logger.warning("degraded components: %s", ", ".join(flags))
         logger.info("wrote %s (resumable, %d new steps)", args.out, len(hist))
         return 0
     if args.video:

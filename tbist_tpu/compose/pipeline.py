@@ -41,12 +41,17 @@ class ModelRegistry:
     emoji_extractor: Optional[Callable] = None
     # (image NHWC) -> (H, W) float depth
     depth_estimator: Optional[Callable] = None
+    # fields the lazy loaders resolved (vs caller-injected) — degraded
+    # flags only apply to these, so a caller supplying real weights is
+    # never reported as degraded by an earlier fallback in this process
+    resolved_by_loader: set = dataclasses.field(default_factory=set)
 
     def ensure(self, *names: str) -> "ModelRegistry":
         """Lazily resolve only the models a request actually needs."""
         for name in names:
             if getattr(self, name) is not None:
                 continue
+            self.resolved_by_loader.add(name)
             if name == "vgg_params":
                 from tbist_tpu.weights import vgg as vgg_weights
 
@@ -178,7 +183,9 @@ def apply_image(
         # Ghiasi params) resolve lazily inside the effect call.
         from tbist_tpu.utils import degraded as _degraded
 
-        flags = _degraded.flags_for(needed)
+        flags = _degraded.flags_for(
+            n for n in needed if n in registry.resolved_by_loader
+        )
         if flags:
             metrics.degraded = sorted(set(metrics.degraded) | set(flags))
 
@@ -204,7 +211,11 @@ def _apply_stages(
     state.mode = _text_mode(tcfg)
     if state.mode != "none":
         if tcfg.location_prompt:
-            state.loc_mask = registry.mask_extractor(original, tcfg.location_prompt)
+            from tbist_tpu.effects import masking as masking_fx
+
+            state.loc_mask = masking_fx.extract_location_mask(
+                registry.mask_extractor, original, tcfg
+            )
         if tcfg.texture_prompt:
             state.emoji_mask = registry.emoji_extractor(tcfg.texture_prompt)
 

@@ -137,10 +137,11 @@ def style_mip(
     style_b = style_fx._bucket(style, gcfg)
     t0 = time.perf_counter()
     stylized = batched_lib.run(gcfg, vgg_params, layers_b, (style_b,), w_style=w_style)
-    stylized = jax.device_get(stylized)  # force completion before timing
+    # sync on a SCALAR: fetching the full stack through the ~31 MB/s axon
+    # tunnel would add ~400 ms inside the timed region (CLAUDE.md rule)
+    jax.device_get(stylized[0, 0, 0, 0])
     if metrics is not None:
         metrics.timings_s["mip_batched"] = time.perf_counter() - t0
-    stylized = jnp.asarray(stylized)
     if stylized.shape[1:] != layers.shape[1:]:
         stylized = jax.image.resize(stylized, layers.shape, "bilinear")
     final = mip_ops.reconstruct(stylized, depth, n)

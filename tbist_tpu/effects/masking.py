@@ -60,6 +60,54 @@ def _fallback_emoji_stencil(prompt: str) -> jnp.ndarray:
     return jnp.asarray(np.asarray(big) < 255)
 
 
+def extract_location_mask(extractor: Callable, image, tcfg) -> jnp.ndarray:
+    """Run ``extractor`` with the TextMaskExtractor preprocess options.
+
+    With default options this is just ``extractor(image, prompt)``. With
+    crop/square/resize set (TextEffectConfig.mask_crop/mask_square/
+    mask_resize — reference TextMaskExtractor.py:70-131), the detection
+    input is preprocessed first and the resulting mask is placed back into
+    the content frame's coordinates (False outside the crop window), so
+    downstream composites stay aligned. Returns an (H, W) bool mask in the
+    ORIGINAL image's shape.
+    """
+    crop = tuple(tcfg.mask_crop)
+    resize = tuple(tcfg.mask_resize)
+    if crop == (0, 0, 0, 0) and not tcfg.mask_square and not resize:
+        return extractor(image, tcfg.location_prompt)
+
+    from tbist_tpu.models import dino_sam
+
+    arr = np.asarray(image[0] if np.asarray(image).ndim == 4 else image)
+    h, w = arr.shape[:2]
+    if arr.dtype.kind == "f":
+        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    left, right, top, bottom = (int(v) for v in crop)
+    rh, rw = (int(resize[0]), int(resize[1])) if resize else (512, 512)
+    pre, (oy, ox, ph, pw) = dino_sam.preprocess_image(
+        arr, resize=bool(resize), square=tcfg.mask_square, height=rh,
+        width=rw, left=left, right=right, top=top, bottom=bottom,
+        return_offsets=True,
+    )
+    m = np.asarray(
+        extractor(jnp.asarray(pre, jnp.float32)[None] / 255.0,
+                  tcfg.location_prompt)
+    )
+    if m.shape != (ph, pw):  # undo the resize
+        import jax
+
+        m = (
+            np.asarray(
+                jax.image.resize(jnp.asarray(m, jnp.float32), (ph, pw),
+                                 "bilinear")
+            )
+            > 0.5
+        )
+    full = np.zeros((h, w), bool)
+    full[oy : oy + ph, ox : ox + pw] = m.astype(bool)
+    return jnp.asarray(full)
+
+
 @functools.lru_cache(maxsize=1)
 def default_mask_extractor() -> Callable:
     try:

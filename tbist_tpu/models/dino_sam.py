@@ -207,16 +207,21 @@ def preprocess_image(
     right: int = 0,
     top: int = 0,
     bottom: int = 0,
-) -> np.ndarray:
+    return_offsets: bool = False,
+):
     """Crop / square / resize preprocessing, host-side.
 
     Capability parity with TextMaskExtractor._preprocess_image
     (text/TextMaskExtractor.py:70-131): crop `left/right/top/bottom` pixels,
     optionally center-crop to square, optionally resize to (height, width).
-    Returns (H, W, 3) uint8 RGB. Two intended divergences (see PARITY.md):
-    the reference clamps `top` by `h-left-1` (typo) and passes PIL.resize
-    the swapped (height, width) tuple; we clamp top by h-1 and resize to an
-    actual height×width result.
+    Returns (H, W, 3) uint8 RGB — with ``return_offsets`` also
+    ``(oy, ox, ph, pw)``: the crop's top-left corner in the original frame
+    and the pre-resize crop shape, so a mask computed on the preprocessed
+    image can be placed back into original coordinates
+    (effects.masking.extract_location_mask). Two intended divergences (see
+    PARITY.md): the reference clamps `top` by `h-left-1` (typo) and passes
+    PIL.resize the swapped (height, width) tuple; we clamp top by h-1 and
+    resize to an actual height×width result.
     """
     if isinstance(image, str):
         from PIL import Image
@@ -233,21 +238,28 @@ def preprocess_image(
     top = min(top, h - 1)
     bottom = min(bottom, h - top - 1)
     image = image[top : h - bottom, left : w - right]
+    oy, ox = top, left
     h, w = image.shape[:2]
     if square:
         if h < w:
             off = (w - h) // 2
             image = image[:, off : off + h]
+            ox += off
         elif w < h:
             off = (h - w) // 2
             image = image[off : off + w]
+            oy += off
+    ph, pw = image.shape[:2]
     if resize:
         import jax
 
         x = jnp.asarray(image, jnp.float32)
         x = jax.image.resize(x, (height, width, x.shape[-1]), "bilinear")
         image = np.asarray(jnp.clip(jnp.round(x), 0, 255), np.uint8)
-    return np.ascontiguousarray(image)
+    image = np.ascontiguousarray(image)
+    if return_offsets:
+        return image, (oy, ox, ph, pw)
+    return image
 
 
 def detect(

@@ -92,6 +92,14 @@ class TextEffectConfig:
     emoji_seed: int = 0
     box_threshold: float = 0.3
     text_threshold: float = 0.5
+    # TextMaskExtractor._preprocess_image options (TextMaskExtractor.py:70-131):
+    # crop (left, right, top, bottom) pixels off the detection input, center-
+    # crop it square, and/or resize it to (height, width) before mask
+    # extraction. The extracted mask is placed back into content coordinates
+    # (the reference never passes non-defaults from any call site).
+    mask_crop: Tuple[int, int, int, int] = (0, 0, 0, 0)
+    mask_square: bool = False
+    mask_resize: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

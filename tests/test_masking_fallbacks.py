@@ -21,6 +21,78 @@ class TestFallbackLocationMask:
         np.testing.assert_array_equal(a, b)
 
 
+class TestExtractLocationMaskPreprocess:
+    """extract_location_mask geometry: the mask computed on the
+    preprocessed detection input lands back in content coordinates."""
+
+    class _Cfg:
+        location_prompt = "thing"
+        mask_crop = (0, 0, 0, 0)
+        mask_square = False
+        mask_resize = ()
+
+    @staticmethod
+    def _all_true(image, prompt):
+        a = np.asarray(image)
+        if a.ndim == 4:
+            a = a[0]
+        return jnp.ones(a.shape[:2], bool)
+
+    def _img(self, h=40, w=60):
+        return jnp.asarray(
+            np.random.default_rng(0).random((1, h, w, 3)), jnp.float32
+        )
+
+    def test_defaults_pass_through(self):
+        calls = []
+
+        def spy(image, prompt):
+            calls.append(np.asarray(image).shape)
+            return self._all_true(image, prompt)
+
+        cfg = self._Cfg()
+        m = masking.extract_location_mask(spy, self._img(), cfg)
+        assert np.asarray(m).shape == (40, 60)
+        assert calls == [(1, 40, 60, 3)]  # untouched input
+
+    def test_crop_places_mask_back(self):
+        cfg = self._Cfg()
+        cfg.mask_crop = (5, 10, 2, 3)  # left, right, top, bottom
+        m = np.asarray(
+            masking.extract_location_mask(self._all_true, self._img(), cfg)
+        )
+        assert m.shape == (40, 60)
+        expect = np.zeros((40, 60), bool)
+        expect[2:37, 5:50] = True
+        np.testing.assert_array_equal(m, expect)
+
+    def test_square_center_crop(self):
+        cfg = self._Cfg()
+        cfg.mask_square = True
+        m = np.asarray(
+            masking.extract_location_mask(self._all_true, self._img(), cfg)
+        )
+        expect = np.zeros((40, 60), bool)
+        expect[:, 10:50] = True
+        np.testing.assert_array_equal(m, expect)
+
+    def test_resize_roundtrip(self):
+        cfg = self._Cfg()
+        cfg.mask_resize = (16, 24)
+        seen = []
+
+        def spy(image, prompt):
+            a = np.asarray(image)[0]
+            seen.append(a.shape)
+            return jnp.ones(a.shape[:2], bool)
+
+        m = np.asarray(
+            masking.extract_location_mask(spy, self._img(), cfg)
+        )
+        assert seen == [(16, 24, 3)]  # extractor saw the resized input
+        assert m.shape == (40, 60) and m.all()
+
+
 class TestFallbackEmojiStencil:
     def test_shape_and_content(self):
         m = np.asarray(masking._fallback_emoji_stencil("fire"))
