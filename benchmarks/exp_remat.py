@@ -74,7 +74,7 @@ def main():
         try:
             ms = time_loop(content, styles=(style,), cfg=cfg, params=params,
                            steps=args.steps) * 1e3
-            print(f"{name:34s} {ms:7.2f} ms/iter")
+            print(f"{name:34s} {ms:7.2f} ms/iter", flush=True)
         finally:
             gatys._make_loss_fn = orig
 

@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-style", help="text prompt for feed-forward stylization")
     p.add_argument("--text-location", help="prompt for DINO+SAM location mask")
     p.add_argument("--text-texture", help="prompt for emoji texture mask")
+    p.add_argument("--mask-crop", type=int, nargs=4, default=(0, 0, 0, 0),
+                   metavar=("L", "R", "T", "B"),
+                   help="crop pixels off the mask-detection input")
+    p.add_argument("--mask-square", action="store_true",
+                   help="center-crop the mask-detection input square")
+    p.add_argument("--mask-resize", type=int, nargs=2, metavar=("H", "W"),
+                   help="resize the mask-detection input")
 
     p.add_argument("--pixel-art", action="store_true")
     p.add_argument("--pixel-size", type=float, default=0.4)
@@ -77,6 +84,9 @@ def request_from_args(args) -> EffectRequest:
             style_prompt=args.text_style,
             location_prompt=args.text_location,
             texture_prompt=args.text_texture,
+            mask_crop=tuple(args.mask_crop),
+            mask_square=args.mask_square,
+            mask_resize=tuple(args.mask_resize or ()),
         )
     pixel = None
     if args.pixel_art:

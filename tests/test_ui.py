@@ -179,3 +179,29 @@ class TestBasicCliModes:
     def test_style_and_depth_modes(self):
         assert basic_cli._request_for(7, {}).style_transfer
         assert basic_cli._request_for(8, {}).depth is not None
+
+
+class TestCliMaskPreprocessFlags:
+    def test_flags_flow_into_request(self):
+        from tbist_tpu.cli import build_parser, request_from_args
+
+        args = build_parser().parse_args(
+            ["--image", "x.jpg", "--text-location", "boat",
+             "--mask-crop", "1", "2", "3", "4", "--mask-square",
+             "--mask-resize", "64", "48", "--out", "/tmp/o.png"]
+        )
+        req = request_from_args(args)
+        assert req.text.mask_crop == (1, 2, 3, 4)
+        assert req.text.mask_square
+        assert req.text.mask_resize == (64, 48)
+
+    def test_defaults_disabled(self):
+        from tbist_tpu.cli import build_parser, request_from_args
+
+        args = build_parser().parse_args(
+            ["--image", "x.jpg", "--text-location", "boat", "--out", "/tmp/o.png"]
+        )
+        req = request_from_args(args)
+        assert req.text.mask_crop == (0, 0, 0, 0)
+        assert not req.text.mask_square
+        assert req.text.mask_resize == ()
