@@ -206,6 +206,13 @@ def main(quick: bool = False, models: bool = False):
     dt = _timeit(video_run, warmup=1, iters=1)
     results["video_frames_per_sec_256px"] = 8 / dt
 
+    # 4b. SURVEY §6 row "Video + StyleMixer batched throughput": the same
+    # batched frame loop with TWO styles (gram-space mixing, w=0.5)
+    style2 = jax.random.uniform(jax.random.key(6), (1, 512, 512, 3), jnp.float32)
+    dt = _timeit(lambda: batched.run(vcfg, vgg_params, frames, (style, style2)),
+                 warmup=1, iters=1)
+    results["video_mixing_frames_per_sec_256px"] = 8 / dt
+
     if not quick:
         big = jax.random.uniform(jax.random.key(5), (8, 512, 512, 3), jnp.float32)
         bcfg = GatysConfig(num_steps=100)
@@ -251,9 +258,16 @@ def main(quick: bool = False, models: bool = False):
     if models:
         _model_metrics(results)
 
+    # merge into the existing record: a --quick/--models run updates only
+    # the metrics it measured instead of clobbering full-run numbers
     out_path = os.path.join(REPO, "benchmarks", "results.json")
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     for k, v in results.items():
         print(json.dumps({"metric": k, "value": round(v, 3) if v is not None else None}))
 
