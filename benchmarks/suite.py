@@ -182,7 +182,7 @@ def main(quick: bool = False, models: bool = False):
             input_ids = jnp.asarray([ids], jnp.int32)
             tmask = jnp.ones_like(input_ids)
             nh, nw = dino_sam._detection_size(512, 512)
-            x = jnp.asarray(raw, jnp.float32)[None] / 255.0
+            x = jnp.asarray(raw)[None].astype(jnp.float32) / 255.0
             x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
             x = (x - dino_sam.IMAGENET_MEAN) / dino_sam.IMAGENET_STD
             out = dino_sam._dino_jit(dino_params, dino_lib.BASE, x, input_ids, tmask)

@@ -275,7 +275,8 @@ def detect(
 
     h, w = image.shape[:2]
     nh, nw = _detection_size(h, w)
-    x = jnp.asarray(image, jnp.float32)[None] / 255.0
+    # uint8 upload + device-side cast (axon tunnel: 4x fewer bytes than f32)
+    x = jnp.asarray(np.ascontiguousarray(image))[None].astype(jnp.float32) / 255.0
     x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
 
