@@ -114,3 +114,26 @@ class TestFallbackEmojiStencil:
         f = masking.default_mask_extractor()
         g = masking.default_emoji_extractor()
         assert callable(f) and callable(g)
+
+
+class TestRasterizeChar:
+    """t5_emoji.rasterize_char: reference draw semantics
+    (EmojiMaskExtractor.py:62-70) with any TrueType font."""
+
+    FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+    def test_mask_shape_and_glyph(self):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.exists(self.FONT):
+            _pytest.skip("no ttf font in environment")
+        from tbist_tpu.models import t5_emoji
+
+        m = np.asarray(t5_emoji.rasterize_char("A", self.FONT))
+        assert m.shape == (t5_emoji.EMOJI_SIZE, t5_emoji.EMOJI_SIZE)
+        assert m.dtype == bool
+        assert 0 < m.sum() < m.size
+        # glyph drawn at (20, 10) with size 109: nothing in the top rows
+        assert not m[:10].any()
