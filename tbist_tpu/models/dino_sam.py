@@ -300,7 +300,9 @@ def detect(
             [ids[i] for i in np.where(token_keep)[0]], inv_vocab
         )
         if phrase:
-            phrases.append(phrase + f"({row.max():.2f})")
+            # reference formats the score as str(x)[:4] -> e.g. "(0.53)",
+            # "(0.5)" (groundingdino_text_object_detector.py:97)
+            phrases.append(phrase + f"({str(float(row.max()))[:4]})")
             keep2.append(True)
         else:
             keep2.append(False)
