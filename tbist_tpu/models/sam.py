@@ -83,6 +83,20 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
     return r[idx]  # (q, k, dim)
 
 
+def _use_pallas_attn(t: int) -> bool:
+    """Route big global-attention grids through the Pallas kernel.
+
+    TBIST_PALLAS_SAM_ATTN=0 forces the einsum path, =1 forces the kernel;
+    default is the kernel for full-grid attention (T >= 4096) on TPU
+    backends — measured 3x on the 1024² encoder (benchmarks/PROFILE.md)."""
+    env = os.environ.get("TBIST_PALLAS_SAM_ATTN", "")
+    if env == "0":
+        return False
+    if env:
+        return True
+    return t >= 4096 and jax.default_backend() not in ("cpu",)
+
+
 def _attn_rel(x, p, heads, hw: Tuple[int, int]):
     """Windowed/global attention with decomposed relative positions.
     x: (B, H, W, C) where (H, W) is the window or full grid."""
@@ -92,18 +106,30 @@ def _attn_rel(x, p, heads, hw: Tuple[int, int]):
     qkv = qkv.reshape(b, t, 3, heads, c // heads).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, heads, T, d)
     scale = (c // heads) ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
 
     rh = _get_rel_pos(h, h, p["rel_pos_h"])  # (h, h, d)
     rw = _get_rel_pos(w, w, p["rel_pos_w"])
     qr = q.reshape(b, heads, h, w, -1)
     bias_h = jnp.einsum("bnhwd,hkd->bnhwk", qr, rh)  # (B,heads,h,w,h)
     bias_w = jnp.einsum("bnhwd,wkd->bnhwk", qr, rw)  # (B,heads,h,w,w)
-    bias = bias_h[..., :, None] + bias_w[..., None, :]  # (B,heads,h,w,h,w)
-    logits = logits + bias.reshape(b, heads, t, t)
 
-    attn = jax.nn.softmax(logits, -1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    if _use_pallas_attn(t):
+        from tbist_tpu.ops import pallas_sam_attn
+
+        n = b * heads
+        d = c // heads
+        out = pallas_sam_attn.attention_with_rel_bias(
+            (q * scale).reshape(n, t, d), k.reshape(n, t, d),
+            v.reshape(n, t, d), bias_h.reshape(n, t, h),
+            bias_w.reshape(n, t, w), h, w,
+        ).reshape(b, heads, t, d)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        bias = bias_h[..., :, None] + bias_w[..., None, :]  # (B,heads,h,w,h,w)
+        logits = logits + bias.reshape(b, heads, t, t)
+        attn = jax.nn.softmax(logits, -1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
     out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
     return (out @ p["proj_w"] + p["proj_b"]).reshape(b, h, w, c)
 

@@ -106,6 +106,66 @@ class TestPallasGramParity:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
+class TestPallasSamAttnParity:
+    def test_matches_einsum_formulation(self):
+        """Kernel == the decomposed-rel-pos einsum attention (interpret)."""
+        from tbist_tpu.ops import pallas_sam_attn
+
+        rng = np.random.default_rng(7)
+        n, h, w, d = 3, 8, 16, 16  # non-square grid: h and w paths differ
+        t = h * w
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((n, t, d)), jnp.float32)
+            for _ in range(3)
+        )
+        bh = jnp.asarray(rng.standard_normal((n, t, h)), jnp.float32)
+        bw = jnp.asarray(rng.standard_normal((n, t, w)), jnp.float32)
+
+        j = np.arange(t)
+        bias = np.asarray(bh)[:, :, j // w] + np.asarray(bw)[:, :, j % w]
+        logits = (
+            np.einsum(
+                "nqd,nkd->nqk", np.asarray(q, np.float64),
+                np.asarray(k, np.float64),
+            )
+            + bias
+        )
+        attn = np.exp(logits - logits.max(-1, keepdims=True))
+        attn /= attn.sum(-1, keepdims=True)
+        want = np.einsum("nqk,nkd->nqd", attn, np.asarray(v, np.float64))
+
+        got = np.asarray(
+            pallas_sam_attn.attention_with_rel_bias(
+                q, k, v, bh, bw, h, w, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_sam_encoder_routes_consistently(self):
+        """Forced-on kernel == einsum path through the real _attn_rel."""
+        import os
+
+        from tbist_tpu.models import sam as sam_lib
+
+        cfg = sam_lib.SamConfig(
+            img_size=32, patch=4, width=16, layers=2, heads=2,
+            global_layers=(1,), window=4, embed_dim=8,
+        )
+        params = sam_lib.init_params(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3), jnp.float32)
+        os.environ["TBIST_PALLAS_SAM_ATTN"] = "0"
+        try:
+            want = np.asarray(sam_lib.encode_image(params, cfg, x))
+            os.environ["TBIST_PALLAS_SAM_ATTN"] = "1"
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(sam_lib.encode_image(params, cfg, x))
+        finally:
+            del os.environ["TBIST_PALLAS_SAM_ATTN"]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 class TestConverters:
     def test_ghiasi_converter_roundtrip(self):
         """Torch-layout state dict -> pytree -> forward runs."""
