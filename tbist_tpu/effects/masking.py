@@ -89,10 +89,9 @@ def extract_location_mask(extractor: Callable, image, tcfg) -> jnp.ndarray:
         width=rw, left=left, right=right, top=top, bottom=bottom,
         return_offsets=True,
     )
-    m = np.asarray(
-        extractor(jnp.asarray(pre, jnp.float32)[None] / 255.0,
-                  tcfg.location_prompt)
-    )
+    # extractors accept (H, W, 3) uint8 directly — no float round-trip,
+    # and uploads (if any) stay uint8 per the project transfer rule
+    m = np.asarray(extractor(pre, tcfg.location_prompt))
     if m.shape != (ph, pw):  # undo the resize
         import jax
 

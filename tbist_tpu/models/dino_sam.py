@@ -262,6 +262,35 @@ def preprocess_image(
     return image
 
 
+def filter_phrases(
+    logits: np.ndarray, ids: List[int], inv_vocab: dict
+) -> Tuple[np.ndarray, List[str]]:
+    """get_phrases_from_posmap filtering over box-level sigmoid logits.
+
+    ``logits`` is (N, T) sigmoid scores for N boxes that already passed
+    BOX_THRESHOLD. Per box: tokens above TEXT_THRESHOLD form the phrase,
+    except position 0 ([CLS]) and positions >= 255 — a [SEP] or '.' above
+    text_threshold IS part of the decoded phrase, and an empty decode
+    drops the box (groundingdino_text_object_detector.py:92-100). Returns
+    (keep bool (N,), phrases for kept boxes with '(score)' suffixes).
+    """
+    logits = np.asarray(logits)
+    phrases, keep = [], np.zeros(logits.shape[0], bool)
+    for i, row in enumerate(logits):
+        token_keep = row > TEXT_THRESHOLD
+        token_keep[0] = False
+        token_keep[255:] = False
+        phrase = _decode_phrase(
+            [ids[j] for j in np.where(token_keep)[0]], inv_vocab
+        )
+        if phrase:
+            # reference formats the score as str(x)[:4] -> e.g. "(0.53)",
+            # "(0.5)" (groundingdino_text_object_detector.py:97)
+            phrases.append(phrase + f"({str(float(row.max()))[:4]})")
+            keep[i] = True
+    return keep, phrases
+
+
 def detect(
     dino_params, image: np.ndarray, prompt: str
 ) -> Tuple[np.ndarray, List[str]]:
@@ -281,32 +310,14 @@ def detect(
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
 
     out = _dino_jit(dino_params, dino_lib.BASE, x, input_ids, text_mask)
-    logits = jax.nn.sigmoid(np.asarray(out["pred_logits"])[0])  # (900, T)
+    logits = np.asarray(jax.nn.sigmoid(out["pred_logits"]))[0]  # (900, T)
     boxes = np.asarray(out["pred_boxes"])[0]  # (900, 4)
 
     keep = logits.max(axis=1) > BOX_THRESHOLD
     logits, boxes = logits[keep], boxes[keep]
-    phrases, keep2 = [], []
     inv_vocab = {v: k for k, v in vocab.items()}
-    for row in logits:
-        # get_phrases_from_posmap semantics: zero position 0 ([CLS]) and
-        # positions >= 255 only — a [SEP] or '.' above text_threshold IS
-        # part of the decoded phrase, and an empty decode drops the box
-        # (groundingdino_text_object_detector.py:92-100)
-        token_keep = row > TEXT_THRESHOLD
-        token_keep[0] = False
-        token_keep[255:] = False
-        phrase = _decode_phrase(
-            [ids[i] for i in np.where(token_keep)[0]], inv_vocab
-        )
-        if phrase:
-            # reference formats the score as str(x)[:4] -> e.g. "(0.53)",
-            # "(0.5)" (groundingdino_text_object_detector.py:97)
-            phrases.append(phrase + f"({str(float(row.max()))[:4]})")
-            keep2.append(True)
-        else:
-            keep2.append(False)
-    return boxes[np.asarray(keep2, bool)] if len(keep2) else boxes[:0], phrases
+    keep2, phrases = filter_phrases(logits, ids, inv_vocab)
+    return boxes[keep2], phrases
 
 
 def extract_mask(dino_params, sam_params, image: np.ndarray, prompt: str) -> jnp.ndarray:

@@ -134,6 +134,68 @@ class TestDecodePhrase:
             assert dino_sam._decode_phrase(ids, inv) == hf.decode(ids), toks
 
 
+class TestFilterPhrases:
+    """Weights-free drive of the posmap phrase filter (the detect() loop
+    after BOX_THRESHOLD) on synthetic sigmoid logits."""
+
+    WORDS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "boat", ".", "red"]
+
+    def _setup(self):
+        vocab = {w: i for i, w in enumerate(self.WORDS)}
+        inv = {i: w for w, i in vocab.items()}
+        # prompt 'red boat.' -> [CLS] red boat . [SEP]
+        ids = [vocab["[CLS]"], vocab["red"], vocab["boat"], vocab["."],
+               vocab["[SEP]"]]
+        return ids, inv
+
+    def test_phrase_and_score_format(self):
+        ids, inv = self._setup()
+        logits = np.zeros((2, len(ids)), np.float32)
+        logits[0, 1] = 0.9   # 'red'
+        logits[0, 2] = 0.74  # 'boat'
+        logits[1, 2] = 0.53  # 'boat' only
+        keep, phrases = dino_sam.filter_phrases(logits, ids, inv)
+        np.testing.assert_array_equal(keep, [True, True])
+        # str(float(np.float32(0.9)))[:4] == '0.89' — same float32->str
+        # truncation the reference's .item() path produces
+        assert phrases == ["red boat(0.89)", "boat(0.52)"]
+
+    def test_cls_position_always_dropped(self):
+        ids, inv = self._setup()
+        logits = np.zeros((1, len(ids)), np.float32)
+        logits[0, 0] = 0.99  # [CLS]: above threshold, but position 0 is zeroed
+        keep, phrases = dino_sam.filter_phrases(logits, ids, inv)
+        np.testing.assert_array_equal(keep, [False])
+        assert phrases == []
+
+    def test_sep_above_threshold_is_kept_in_phrase(self):
+        # official semantics: only [CLS]/>=255 are zeroed; '.' and [SEP]
+        # above threshold join the decode (groundingdino:92-100)
+        ids, inv = self._setup()
+        logits = np.zeros((1, len(ids)), np.float32)
+        logits[0, 2] = 0.8  # boat
+        logits[0, 3] = 0.6  # '.'
+        keep, phrases = dino_sam.filter_phrases(logits, ids, inv)
+        assert keep[0] and phrases == ["boat.(0.80)"]
+
+    def test_jax_array_input(self):
+        # regression: detect() used to hand filter logic a JAX array whose
+        # rows are immutable -> TypeError on token_keep[0] = False
+        import jax.numpy as jnp
+
+        ids, inv = self._setup()
+        logits = jnp.zeros((1, len(ids)), jnp.float32).at[0, 2].set(0.8)
+        keep, phrases = dino_sam.filter_phrases(logits, ids, inv)
+        assert keep[0] and phrases == ["boat(0.80)"]
+
+    def test_empty_rows(self):
+        ids, inv = self._setup()
+        keep, phrases = dino_sam.filter_phrases(
+            np.zeros((0, len(ids)), np.float32), ids, inv
+        )
+        assert keep.shape == (0,) and phrases == []
+
+
 class TestPreprocessImage:
     def _img(self, h=40, w=60):
         return np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)

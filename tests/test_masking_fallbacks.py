@@ -82,14 +82,17 @@ class TestExtractLocationMaskPreprocess:
         seen = []
 
         def spy(image, prompt):
-            a = np.asarray(image)[0]
-            seen.append(a.shape)
+            a = np.asarray(image)
+            if a.ndim == 4:
+                a = a[0]
+            seen.append((a.shape, a.dtype.kind))
             return jnp.ones(a.shape[:2], bool)
 
         m = np.asarray(
             masking.extract_location_mask(spy, self._img(), cfg)
         )
-        assert seen == [(16, 24, 3)]  # extractor saw the resized input
+        # extractor saw the resized input, as uint8 (no float round-trip)
+        assert seen == [((16, 24, 3), "u")]
         assert m.shape == (40, 60) and m.all()
 
 
