@@ -185,14 +185,15 @@ def build_demo():
                     text_style = gr.Textbox(label="Style prompt", placeholder="starry night")
                     text_location = gr.Textbox(label="Location prompt", placeholder="boat")
                     text_texture = gr.Textbox(label="Texture prompt", placeholder="fire")
-                    edge_smoothing = gr.Slider(0, 99, 5, step=2, label="Edge smoothing")
-                    emoji_blur = gr.Slider(1, 199, 95, step=2, label="Texture blur strength")
-                    emoji_step = gr.Slider(0.1, 2.0, 0.5, label="Texture step size")
-                    emoji_strength = gr.Slider(0.0, 4.0, 1.5, label="Texture style strength")
+                    # ranges/steps/defaults match reference app.py:920-927
+                    edge_smoothing = gr.Slider(0, 20, 5, step=1, label="Edge smoothing")
+                    emoji_blur = gr.Slider(0, 200, 95, step=5, label="Texture blur strength")
+                    emoji_step = gr.Slider(0.1, 2.5, 0.5, step=0.1, label="Texture step size")
+                    emoji_strength = gr.Slider(0, 10, 1.5, step=0.25, label="Texture style strength")
 
                 with gr.Group(visible=False) as pixel_panel:
                     pixel_effects = gr.CheckboxGroup(PIXEL_EFFECTS, label="Pixel art options")
-                    pixel_size = gr.Slider(0.01, 1.0, 0.4, label="Pixel size")
+                    pixel_size = gr.Slider(0.01, 1.0, 0.4, step=0.02, label="Pixel size")
                     palette_idx = gr.Dropdown(
                         choices=list(range(len(palette_previews))), value=0,
                         label="Palette #",
@@ -204,7 +205,7 @@ def build_demo():
                         label="Palette source image", visible=False
                     )
                     palette_n_colors = gr.Slider(
-                        2, 32, 10, step=1, label="# palette colors", visible=False
+                        0, 20, 10, step=1, label="# palette colors", visible=False
                     )
                     edge_threshold = gr.Slider(0, 100, 50, step=1, label="Edge threshold")
 
@@ -214,7 +215,7 @@ def build_demo():
                 with gr.Group(visible=False) as mixing_panel:
                     style_img1 = gr.Image(type="filepath", label="Style image 1")
                     style_img2 = gr.Image(type="filepath", label="Style image 2")
-                    style_weight = gr.Slider(0.0, 1.0, 0.5, label="Style 2 weight")
+                    style_weight = gr.Slider(0.0, 1.0, 0.5, step=0.1, label="Style 2 weight")
                     channel_attention = gr.Checkbox(label="Channel attention")
 
                 with gr.Group(visible=False) as palette_panel:
@@ -222,13 +223,14 @@ def build_demo():
 
                 with gr.Group(visible=False) as depth_panel:
                     depth_mode = gr.Radio(DEPTH_EFFECTS, value=DEPTH_EFFECTS[1], label="Depth mode")
-                    mip_n = gr.Slider(2, 8, 2, step=1, label="MIP layers")
+                    mip_n = gr.Slider(2, 10, 2, step=1, label="MIP layers")
                     depth_preview_btn = gr.Button("Preview depth layers")
                     depth_gallery = gr.Gallery(label="Depth split", columns=4)
 
                 with gr.Group(visible=False) as video_panel:
                     interp_frames = gr.Slider(0, 5, 0, step=1, label="Interpolation frames")
-                    slowmo = gr.Slider(0.0, 4.0, 0.0, label="Slow-motion factor")
+                    # reference app.py:953: speed multiplier 0.1-2 default 1
+                    slowmo = gr.Slider(0.1, 2.0, 1.0, step=0.1, label="Speed multiplier")
 
                 run_btn = gr.Button("Apply", variant="primary")
             with gr.Column():

@@ -1,0 +1,156 @@
+"""Execute ui.gradio_app.build_demo through the fake-gradio shim.
+
+Round-2 VERDICT weak #6: build_demo (and the 30-input run() unpack, every
+.change/.click wiring, and gr.update usage) was load-bearing untested
+code. These tests construct the demo headlessly, assert widget parity
+with the reference Blocks app (reference app.py:889-981), fire every
+registered handler once with its widgets' default values, and round-trip
+one real image run through the shim.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import fake_gradio
+
+
+@pytest.fixture(scope="module")
+def gradio_app(request):
+    sys.modules["gradio"] = fake_gradio
+    request.addfinalizer(lambda: sys.modules.pop("gradio", None))
+    from tbist_tpu.ui import gradio_app as ga
+
+    return ga
+
+
+@pytest.fixture(scope="module")
+def demo(gradio_app):
+    return gradio_app.build_demo()
+
+
+class TestWidgetParity:
+    """Slider ranges/steps/defaults match the reference
+    (app.py:920-927, 940, 946, 953, 956, 976)."""
+
+    # label -> (min, max, default, step)
+    SPECS = {
+        "Edge smoothing": (0, 20, 5, 1),          # app.py:920
+        "Texture blur strength": (0, 200, 95, 5),  # app.py:922
+        "Texture step size": (0.1, 2.5, 0.5, 0.1),  # app.py:924
+        "Texture style strength": (0, 10, 1.5, 0.25),  # app.py:926
+        "Pixel size": (0.01, 1.0, 0.4, 0.02),      # app.py:930
+        "# palette colors": (0, 20, 10, 1),        # app.py:946
+        "Edge threshold": (0, 100, 50, 1),         # app.py:949
+        "Speed multiplier": (0.1, 2.0, 1.0, 0.1),  # app.py:953
+        "Interpolation frames": (0, 5, 0, 1),      # app.py:954
+        "Style 2 weight": (0.0, 1.0, 0.5, 0.1),    # app.py:959
+        "MIP layers": (2, 10, 2, 1),               # app.py:976
+    }
+
+    def test_slider_specs(self, demo):
+        for label, (lo, hi, default, step) in self.SPECS.items():
+            w = demo.find(label)
+            got = (w.minimum, w.maximum, w.value, w.step)
+            assert got == (lo, hi, default, step), (label, got)
+
+    def test_main_effect_choices(self, demo, gradio_app):
+        w = demo.find("Effects")
+        assert w.choices == gradio_app.MAIN_EFFECTS
+        assert demo.find("Text effects").choices == gradio_app.TEXT_EFFECTS
+        assert demo.find("Depth mode").choices == gradio_app.DEPTH_EFFECTS
+        # depth mode defaults to MIP (reference app.py:974 value=depth_style_transfer
+        # is the MIP-vs-loss radio; ours defaults to the MIP entry)
+        assert demo.find("Depth mode").value == gradio_app.DEPTH_EFFECTS[1]
+
+    def test_palette_dropdown_covers_all_bundled_palettes(self, demo):
+        from tbist_tpu.effects import pixel_art as pa
+
+        w = demo.find("Palette #")
+        assert w.choices == list(range(len(pa.load_palette_list())))
+        assert w.value == 0
+
+
+class TestHandlersExecute:
+    def test_every_event_fires_with_defaults(self, demo):
+        """Each registered handler runs on its widgets' default values and
+        returns one value per declared output."""
+        assert demo.events, "no events registered"
+        for ev in demo.events:
+            fake_gradio.fire(ev)  # fire() asserts output arity
+
+    def test_effects_visibility_updates(self, demo, gradio_app):
+        (ev,) = demo.events_for(demo.find("Effects"))
+        out = fake_gradio.fire(
+            ev, {demo.find("Effects"): list(gradio_app.MAIN_EFFECTS)}
+        )
+        assert all(u["visible"] for u in out)
+        out = fake_gradio.fire(ev, {demo.find("Effects"): []})
+        assert not any(u["visible"] for u in out)
+
+    def test_input_type_toggle(self, demo):
+        (ev,) = demo.events_for(demo.find("Input type"))
+        out = fake_gradio.fire(ev, {demo.find("Input type"): "Video"})
+        # image in/out hidden, video in/panel/out shown
+        assert [u["visible"] for u in out] == [False, True, True, False, True]
+
+    def test_palette_preview_updates_image(self, demo):
+        preview = demo.find("Palette")
+        (ev,) = demo.events_for(demo.find("Palette #"))
+        fake_gradio.fire(ev, {demo.find("Palette #"): 3})
+        assert isinstance(preview.value, np.ndarray)
+        assert preview.value.ndim == 3
+
+    def test_palette_from_image_lockout(self, demo):
+        # this checkbox has two handlers: the shared palette preview and
+        # the show/hide+lockout one (3 outputs) — pick the latter
+        (ev,) = [
+            e for e in demo.events_for(demo.find("Palette from image"))
+            if len(e.outputs) == 3
+        ]
+        out = fake_gradio.fire(ev, {demo.find("Palette from image"): True})
+        assert out[0]["visible"] and out[1]["visible"]
+        assert out[2]["interactive"] is False
+
+
+class TestRunRoundTrip:
+    def _run_event(self, demo):
+        apply_btn = [
+            c for c in demo.components
+            if isinstance(c, fake_gradio.Button) and c.value == "Apply"
+        ][0]
+        (ev,) = demo.events_for(apply_btn)
+        assert len(ev.inputs) == 30  # the 30-input positional contract
+        return ev
+
+    def test_grayscale_image_roundtrip(self, demo, tmp_path):
+        from PIL import Image as PILImage
+
+        rgb = np.zeros((24, 24, 3), np.uint8)
+        rgb[:, :, 0] = 200  # strongly red so grayscale visibly changes it
+        p = tmp_path / "in.png"
+        PILImage.fromarray(rgb).save(p)
+
+        ev = self._run_event(demo)
+        out = fake_gradio.fire(
+            ev,
+            {
+                demo.find("Input image"): str(p),
+                demo.find("Effects"): ["Convert Output to Grayscale"],
+            },
+        )
+        img, video = out
+        assert video is None
+        assert isinstance(img, np.ndarray) and img.shape == (24, 24, 3)
+        # grayscale: all channels equal, value = luma of pure red (~60)
+        assert (img[..., 0] == img[..., 1]).all()
+        assert (img[..., 1] == img[..., 2]).all()
+        assert 40 < int(img[..., 0].mean()) < 80
+
+    def test_run_with_no_image_returns_none(self, demo):
+        ev = self._run_event(demo)
+        img, video = fake_gradio.fire(
+            ev, {demo.find("Effects"): ["Convert Output to Grayscale"]}
+        )
+        assert img is None and video is None
