@@ -153,6 +153,31 @@ def _decoder_step(params, cfg, tok, pos, cache: DecodeCache, enc_out, enc_mask):
     return logits[:, 0], DecodeCache(jnp.stack(new_k), jnp.stack(new_v))
 
 
+def sample_filter(
+    logits: jnp.ndarray, top_k: int, top_p: float
+) -> jnp.ndarray:
+    """Top-k then top-p logit filtering, HF-warper parity.
+
+    Matches transformers' TopKLogitsWarper followed by TopPLogitsWarper
+    (the order ``generate`` chains them in): keep the k largest logits,
+    then over the renormalized survivors keep the minimal descending
+    prefix whose cumulative probability reaches ``top_p`` (HF removes
+    ascending-sorted tokens with cumsum <= 1-top_p, which keeps exactly
+    the tokens whose preceding descending cumsum is < top_p — the same
+    set). Dropped entries become -inf. (B, V) -> (B, V).
+    """
+    # top-k filter
+    kth = jnp.sort(logits, -1)[:, -top_k][:, None]
+    filt = jnp.where(logits < kth, -jnp.inf, logits)
+    # top-p filter over the surviving top-k
+    sorted_logits = jnp.sort(filt, -1)[:, ::-1]
+    probs_sorted = jax.nn.softmax(sorted_logits, -1)
+    cum = jnp.cumsum(probs_sorted, -1)
+    cutoff_idx = jnp.sum(cum < top_p, -1)  # keep first idx+1
+    cutoff_logit = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], -1)
+    return jnp.where(filt < cutoff_logit, -jnp.inf, filt)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_len", "do_sample", "top_k")
 )
@@ -193,19 +218,7 @@ def generate(
         )
         if do_sample:
             key, sub = jax.random.split(key)
-            # top-k filter
-            kth = jnp.sort(logits, -1)[:, -top_k][:, None]
-            filt = jnp.where(logits < kth, -jnp.inf, logits)
-            # top-p filter over the surviving top-k
-            sorted_logits = jnp.sort(filt, -1)[:, ::-1]
-            probs_sorted = jax.nn.softmax(sorted_logits, -1)
-            cum = jnp.cumsum(probs_sorted, -1)
-            cutoff_idx = jnp.sum(cum < top_p, -1)  # keep first idx+1
-            cutoff_logit = jnp.take_along_axis(
-                sorted_logits, cutoff_idx[:, None], -1
-            )
-            filt = jnp.where(filt < cutoff_logit, -jnp.inf, filt)
-            nxt = jax.random.categorical(sub, filt)
+            nxt = jax.random.categorical(sub, sample_filter(logits, top_k, top_p))
         else:
             nxt = jnp.argmax(logits, -1)
         nxt = jnp.where(done, cfg.pad_id, nxt).astype(jnp.int32)

@@ -359,6 +359,89 @@ class TestT5Parity:
         assert np.all(got[:, t:] == cfg.pad_id)
 
 
+class TestT5SamplingParity:
+    """The sampled-decode path the reference actually runs
+    (EmojiMaskExtractor.py:49: do_sample=True, top_p=0.95, top_k=10)."""
+
+    def _warp(self, logits: np.ndarray, top_k: int, top_p: float) -> np.ndarray:
+        """HF's warper chain in generate's order: top-k then top-p."""
+        from transformers.generation.logits_process import (
+            TopKLogitsWarper,
+            TopPLogitsWarper,
+        )
+
+        t = torch.from_numpy(logits)
+        t = TopKLogitsWarper(top_k=top_k)(None, t)
+        t = TopPLogitsWarper(top_p=top_p)(None, t)
+        return t.numpy()
+
+    def test_filter_matches_hf_warpers(self):
+        pytest.importorskip("transformers")
+        rng = np.random.default_rng(11)
+        logits = rng.normal(size=(4, 50)).astype(np.float32) * 3
+        for top_k, top_p in [(10, 0.95), (3, 0.5), (50, 0.99), (1, 0.95)]:
+            want = self._warp(logits, top_k, top_p)
+            got = np.asarray(t5_lib.sample_filter(jnp.asarray(logits), top_k, top_p))
+            want_inf = np.isinf(want)
+            np.testing.assert_array_equal(
+                np.isinf(got), want_inf, err_msg=f"k={top_k} p={top_p}"
+            )
+            np.testing.assert_allclose(
+                got[~want_inf], want[~want_inf], atol=1e-6,
+                err_msg=f"k={top_k} p={top_p}",
+            )
+
+    def test_peaked_distribution_keeps_only_top_token(self):
+        pytest.importorskip("transformers")
+        # one dominant logit: top-p must prune everything else even with k=10
+        logits = np.full((1, 20), -5.0, np.float32)
+        logits[0, 7] = 10.0
+        want = self._warp(logits, 10, 0.95)
+        got = np.asarray(t5_lib.sample_filter(jnp.asarray(logits), 10, 0.95))
+        np.testing.assert_array_equal(np.isinf(got), np.isinf(want))
+        assert np.isfinite(got[0]).sum() == 1
+
+    def test_sampled_decode_topk1_matches_hf(self):
+        """Forced-identical-draws smoke: with top_k=1 the sampled decode is
+        deterministic, so our while_loop sampling path must reproduce HF's
+        generate(do_sample=True, top_k=1) exactly."""
+        hf, cfg, params = TestT5Parity()._tiny()
+        rng = np.random.default_rng(12)
+        ids = rng.integers(2, 64, size=(2, 6))
+        mask = np.ones((2, 6), np.int64)
+        max_len = 10
+        with torch.no_grad():
+            want = hf.generate(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                do_sample=True, top_k=1, top_p=0.95,
+                max_new_tokens=max_len, min_new_tokens=1,
+            ).numpy()[:, 1:]
+        got = np.asarray(
+            t5_lib.generate(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                jax.random.key(5), max_len=max_len, do_sample=True,
+                top_k=1, top_p=0.95,
+            )
+        )
+        t = want.shape[1]
+        np.testing.assert_array_equal(got[:, :t], want)
+        assert np.all(got[:, t:] == cfg.pad_id)
+
+    def test_sampled_draws_stay_inside_filtered_support(self):
+        """Every sampled token must be one the HF warpers would allow."""
+        pytest.importorskip("transformers")
+        rng = np.random.default_rng(13)
+        logits = rng.normal(size=(2, 32)).astype(np.float32) * 2
+        allowed = ~np.isinf(self._warp(logits, 5, 0.8))
+        filt = t5_lib.sample_filter(jnp.asarray(logits), 5, 0.8)
+        for seed in range(20):
+            draw = np.asarray(
+                jax.random.categorical(jax.random.key(seed), filt)
+            )
+            assert allowed[0, draw[0]] and allowed[1, draw[1]], seed
+
+
 class TestClipAttention:
     def test_residual_attention_vs_torch_mha(self):
         torch.manual_seed(7)
