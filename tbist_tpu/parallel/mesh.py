@@ -62,3 +62,44 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def production_mesh(dp_only: bool = False) -> Optional[Mesh]:
+    """The mesh the PRODUCT runs on: over every visible device, or None
+    single-device (where sharding is pure overhead).
+
+    This is what video/video.py builds per request — on a real multi-chip
+    slice frames shard over dp without any user configuration, replacing
+    the reference's sequential single-device frame loop (app.py:784-815).
+
+    ``dp_only`` lays out every device on dp (sp=1). Video batches use it:
+    frames are embarrassingly parallel, so dp has zero cross-device
+    traffic AND is bit-stable vs the unsharded program — sp splits conv
+    reduction order, whose ~1e-3 float drift the chaotic L-BFGS
+    trajectory amplifies (measured: dp-only 8e-4 after 2 steps, any
+    sp>1 layout 0.3). The dp×sp layout remains for spatially sharding
+    large single images. Set TBIST_DISABLE_MESH=1 to force the
+    single-device path (debugging / A-B timing)."""
+    import os
+
+    if os.environ.get("TBIST_DISABLE_MESH"):
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    if dp_only:
+        return make_mesh(devices=devices, dp=len(devices), sp=1)
+    return make_mesh(devices=devices)
+
+
+def pad_to_multiple(x, m: int):
+    """Pad an (B, ...) array's batch to a multiple of m by repeating the
+    final element. Returns (padded, pad_count). Sharded program shapes
+    must tile evenly over dp; callers slice the pad back off."""
+    import jax.numpy as jnp
+
+    b = x.shape[0]
+    pad = (-b) % m
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    return x, pad

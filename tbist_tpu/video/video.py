@@ -118,9 +118,11 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
     """Feed-forward Ghiasi stylization of all frames in dp batches: the
     prompt embeds once, then one jitted forward per frame batch (the
     reference re-runs CLIP + Ghiasi per frame through the full image
-    pipeline, app.py:794)."""
+    pipeline, app.py:794). With >1 device the batch shards over the
+    production (dp, sp) mesh and weights replicate."""
     from tbist_tpu.effects import text_transfer as tt
     from tbist_tpu.models import clip_mlp, ghiasi
+    from tbist_tpu.parallel import mesh as mesh_lib
 
     g_params, m_params = tt.default_params()
     from tbist_tpu.models import clip_text
@@ -130,8 +132,14 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
     emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
     style = clip_mlp.apply(m_params, emb)  # (1, 100)
 
+    mesh = mesh_lib.production_mesh(dp_only=True)
+    dp = mesh.shape[mesh_lib.DP_AXIS] if mesh is not None else 1
+    if mesh is not None:
+        g_params = jax.device_put(g_params, mesh_lib.replicated(mesh))
+        style = jax.device_put(style, mesh_lib.replicated(mesh))
+
     fwd = jax.jit(lambda x, s: ghiasi.apply(g_params, x, s))
-    bsz = req.video.frame_batch
+    bsz = max(req.video.frame_batch, dp)
     outs: List[np.ndarray] = []
     stack = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
     for i in range(0, stack.shape[0], bsz):
@@ -140,6 +148,10 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
         if chunk.shape[0] < bsz and i > 0:
             pad = bsz - chunk.shape[0]
             chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+        elif mesh is not None:
+            chunk, pad = mesh_lib.pad_to_multiple(chunk, dp)
+        if mesh is not None:
+            chunk = jax.device_put(chunk, mesh_lib.batch_sharding(mesh))
         sv = jnp.broadcast_to(style, (chunk.shape[0], style.shape[1]))
         res = fwd(chunk, sv)
         if pad:
@@ -203,8 +215,14 @@ def _batched_style(
     inputs: pipe.EffectInputs,
     registry: Optional[pipe.ModelRegistry],
 ) -> List[np.ndarray]:
-    """dp-batched Gatys stylization of video frames (parallel.batched)."""
-    from tbist_tpu.parallel import batched
+    """dp-batched Gatys stylization of video frames (parallel.batched).
+
+    On >1 device the PRODUCTION path shards here: frames over the mesh's
+    dp axis, image width over sp, VGG weights and the style image
+    replicated — replacing the reference's sequential one-device frame
+    loop (app.py:784-815). Short chunks pad (repeat last frame) to a
+    dp multiple so the compiled program tiles evenly."""
+    from tbist_tpu.parallel import batched, mesh as mesh_lib
     from tbist_tpu.weights import vgg as vgg_weights
 
     registry = (registry or pipe.ModelRegistry())
@@ -221,7 +239,17 @@ def _batched_style(
     if (sh, sw) != (style.shape[1], style.shape[2]):
         style = jax.image.resize(style, (1, sh, sw, 3), "bilinear")
 
-    bsz = req.video.frame_batch
+    mesh = mesh_lib.production_mesh(dp_only=True)
+    dp = mesh.shape[mesh_lib.DP_AXIS] if mesh is not None else 1
+    if mesh is not None:
+        vgg_params = jax.device_put(vgg_params, mesh_lib.replicated(mesh))
+        style = jax.device_put(style, mesh_lib.replicated(mesh))
+        logger.info(
+            "video: sharding frames over mesh dp=%d sp=%d",
+            dp, mesh.shape[mesh_lib.SP_AXIS],
+        )
+
+    bsz = max(req.video.frame_batch, dp)
     outs = []
     for i in range(0, stack.shape[0], bsz):
         chunk = stack[i : i + bsz]
@@ -229,6 +257,10 @@ def _batched_style(
         if chunk.shape[0] < bsz and i > 0:
             pad = bsz - chunk.shape[0]  # keep one compiled shape
             chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+        elif mesh is not None:
+            chunk, pad = mesh_lib.pad_to_multiple(chunk, dp)
+        if mesh is not None:
+            chunk = jax.device_put(chunk, mesh_lib.batch_sharding(mesh))
         res = batched.run(cfg, vgg_params, chunk, (style,))
         if pad:
             res = res[:-pad]
