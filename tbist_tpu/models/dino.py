@@ -129,6 +129,59 @@ def _bilinear_sample(value_hw: jnp.ndarray, locs: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - fy)[..., None] + bot * fy[..., None]
 
 
+# XLA's TPU gather moves bytes at ~22 GB/s regardless of table size
+# (benchmarks/PROFILE.md round-2e), so each of the 4-corner gathers costs
+# the same ~2.4 ms whether the level table is 100x100 or 13x13. For small
+# levels a DENSE interpolation matmul is far cheaper: build the (P, HW)
+# bilinear-weight matrix (4 nonzeros per row, fused elementwise) and ride
+# the MXU. Levels with HW <= this threshold take the matmul path.
+# Measured on v5e at 800x800 (benchmarks/PROFILE.md round-3a): forward
+# 327 ms (all-gather) -> 262 (level 3 dense) -> 205 (levels 2-3) ->
+# 172 ms (levels 1-3, this default, -47%); including level 0 regresses to
+# 242 ms (its 10k-wide matmul costs more than its gather). Boxes agree
+# with the gather path to ~1e-5.
+_INTERP_MM_MAX_HW = int(os.environ.get("TBIST_DINO_INTERP_MM_HW", "2500"))
+
+
+def _interp_matmul_sample(value_hw: jnp.ndarray, locs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling as one dense weight matmul (small levels).
+
+    Equivalent to ``_bilinear_sample`` (zero padding outside,
+    align_corners=False): W[p, hw] carries the 4 bilinear corner weights
+    of sample p, and ``W @ values`` replaces 4 row gathers + lerp with one
+    MXU contraction. Exact per-corner f32 weights; the contraction runs
+    at HIGHEST precision so parity with the gather path holds to ~1e-6.
+    """
+    n, h, w, d = value_hw.shape
+    x = locs[..., 0] * w - 0.5
+    y = locs[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    hw_iota = jnp.arange(h * w, dtype=jnp.int32)  # (HW,)
+
+    def corner_w(yi, xi, cw):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        idx = yc * w + xc  # (N, P)
+        onehot = (idx[..., None] == hw_iota).astype(jnp.float32)  # (N, P, HW)
+        return onehot * (cw * inb)[..., None]
+
+    wmat = (
+        corner_w(y0, x0, (1 - fx) * (1 - fy))
+        + corner_w(y0, x0 + 1, fx * (1 - fy))
+        + corner_w(y0 + 1, x0, (1 - fx) * fy)
+        + corner_w(y0 + 1, x0 + 1, fx * fy)
+    )
+    flat = value_hw.reshape(n, h * w, d)
+    return jax.lax.batch_matmul(
+        wmat, flat, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def deformable_attention(
     query: jnp.ndarray,
     ref_points: jnp.ndarray,
@@ -178,7 +231,12 @@ def deformable_attention(
         vl = vl.transpose(0, 3, 1, 2, 4).reshape(b * heads, hl, wl, dh)
         loc_l = locs[:, :, :, li].transpose(0, 2, 1, 3, 4)  # (B, heads, Lq, points, 2)
         loc_l = loc_l.reshape(b * heads, lq * points, 2)
-        sampled = _bilinear_sample(vl, loc_l).reshape(b, heads, lq, points, dh)
+        # small levels: dense interp-matmul beats the ~22 GB/s TPU gather;
+        # the matmul path only pays when there are enough samples to
+        # amortize (the decoder's 900 queries stay on the gather path)
+        use_mm = hl * wl <= _INTERP_MM_MAX_HW and lq * points >= 4096
+        sample_fn = _interp_matmul_sample if use_mm else _bilinear_sample
+        sampled = sample_fn(vl, loc_l).reshape(b, heads, lq, points, dh)
         w_l = weights[:, :, :, li].transpose(0, 2, 1, 3)  # (B, heads, Lq, points)
         out = out + jnp.einsum("bhqp,bhqpd->bqhd", w_l, sampled)
         start += hl * wl

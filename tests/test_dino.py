@@ -97,6 +97,62 @@ class TestDeformableAttention:
         out = dino_lib._bilinear_sample(v, locs)
         np.testing.assert_allclose(float(out[0, 0, 0]), 0.0, atol=1e-6)
 
+    def test_interp_matmul_equals_gather(self):
+        """The dense interp-matmul path (small levels on TPU) must equal
+        the gather formulation everywhere: interior, pixel centers,
+        edges, and fully out-of-bounds samples."""
+        key = jax.random.key(3)
+        v = jax.random.normal(key, (3, 7, 5, 8), jnp.float32)
+        rng = np.random.default_rng(4)
+        locs = rng.uniform(-0.3, 1.3, size=(3, 64, 2)).astype(np.float32)
+        # include exact pixel centers and corners
+        locs[:, 0] = [(0.5 + 0.5) / 5, (2 + 0.5) / 7]
+        locs[:, 1] = [0.0, 0.0]
+        locs[:, 2] = [1.0, 1.0]
+        locs = jnp.asarray(locs)
+        want = np.asarray(dino_lib._bilinear_sample(v, locs))
+        got = np.asarray(dino_lib._interp_matmul_sample(v, locs))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_deformable_attention_same_output_either_path(self, monkeypatch):
+        """deformable_attention output is invariant to the sampling
+        implementation the threshold selects."""
+        key = jax.random.key(0)
+        d, heads, points = 16, 2, 2
+        shapes = ((8, 8), (4, 4))
+        lv = sum(h * w for h, w in shapes)
+        keys = jax.random.split(key, 8)
+        p = {
+            "value_proj_w": jax.random.normal(keys[0], (d, d)) * 0.1,
+            "value_proj_b": jnp.zeros(d),
+            "sampling_offsets_w": jax.random.normal(keys[1], (d, heads * 2 * points * 2)) * 0.1,
+            "sampling_offsets_b": jax.random.normal(keys[2], (heads * 2 * points * 2,)) * 0.5,
+            "attention_weights_w": jax.random.normal(keys[3], (d, heads * 2 * points)) * 0.1,
+            "attention_weights_b": jnp.zeros(heads * 2 * points),
+            "output_proj_w": jax.random.normal(keys[4], (d, d)) * 0.1,
+            "output_proj_b": jnp.zeros(d),
+        }
+        value = jax.random.uniform(keys[5], (1, lv, d), jnp.float32)
+        query = jax.random.normal(keys[6], (1, 3, d))
+        refs = jnp.asarray([[[0.5, 0.5], [0.25, 0.25], [0.9, 0.1]]])
+
+        def run():
+            return np.asarray(
+                dino_lib.deformable_attention(
+                    query, refs, value, shapes, p, heads, points
+                )
+            )
+
+        monkeypatch.setattr(dino_lib, "_INTERP_MM_MAX_HW", 0)  # force gather
+        gather_out = run()
+        monkeypatch.setattr(dino_lib, "_INTERP_MM_MAX_HW", 64)
+        # force the matmul path for every level regardless of sample count
+        orig = dino_lib._bilinear_sample
+        monkeypatch.setattr(dino_lib, "_bilinear_sample", dino_lib._interp_matmul_sample)
+        mm_out = run()
+        monkeypatch.setattr(dino_lib, "_bilinear_sample", orig)
+        np.testing.assert_allclose(mm_out, gather_out, atol=1e-5)
+
 
 class TestGroundingDino:
     def test_end_to_end_shapes(self):
