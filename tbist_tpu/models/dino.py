@@ -403,6 +403,35 @@ def _inverse_sigmoid(x, eps=1e-3):
 # ---------------------------------------------------------------------------
 
 
+def encode_text(
+    params,
+    cfg: DinoConfig,
+    input_ids: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    bert_cfg: bert_lib.BertConfig = bert_lib.BASE,
+) -> jnp.ndarray:
+    """The prompt-only prefix of the forward pass: BERT-base with the
+    sub-sentence attention mask + the 768->256 feat_map projection.
+
+    This is the only text computation independent of the image (the
+    fusion layers update text features per encoder layer), so it is what
+    a video run can compute ONCE per prompt and reuse across frames
+    (dino_sam caches it keyed by prompt). Returns (B, T, 256)."""
+    text_self_attend, position_ids = build_text_token_masks(input_ids)
+    text_self_bias = (
+        1.0 - text_self_attend.astype(jnp.float32)[:, None]
+    ) * -1e9  # (B, 1, T, T)
+    text_h = bert_lib.forward(
+        params["bert"],
+        bert_cfg,
+        input_ids,
+        text_mask.astype(jnp.float32),
+        position_ids=position_ids,
+        attention_bias=text_self_bias,
+    )
+    return text_h @ params["feat_map_w"] + params["feat_map_b"]
+
+
 def forward(
     params,
     cfg: DinoConfig,
@@ -411,10 +440,13 @@ def forward(
     text_mask: jnp.ndarray,
     swin_cfg: swin_lib.SwinConfig = swin_lib.TINY,
     bert_cfg: bert_lib.BertConfig = bert_lib.BASE,
+    text_feats: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """image: (1, H, W, 3) ImageNet-normalized (H, W mult of 32);
     input_ids/text_mask: (1, T) BERT tokens. Returns
     {"pred_logits": (1, 900, T), "pred_boxes": (1, 900, 4 cxcywh)}.
+    ``text_feats`` optionally supplies a precomputed ``encode_text``
+    result (prompt cache across video frames); None computes it inline.
     """
     # ---- backbone + projections ----
     feats = swin_lib.forward(params["swin"], swin_cfg, image)
@@ -452,15 +484,9 @@ def forward(
     text_self_bias = (
         1.0 - text_self_attend.astype(jnp.float32)[:, None]
     ) * -1e9  # (B, 1, T, T)
-    text_h = bert_lib.forward(
-        params["bert"],
-        bert_cfg,
-        input_ids,
-        text_mask.astype(jnp.float32),
-        position_ids=position_ids,
-        attention_bias=text_self_bias,
-    )
-    text = text_h @ params["feat_map_w"] + params["feat_map_b"]  # (B, T, 256)
+    if text_feats is None:
+        text_feats = encode_text(params, cfg, input_ids, text_mask, bert_cfg)
+    text = text_feats  # (B, T, 256)
     tmaskf = text_mask.astype(jnp.float32)
     t = text.shape[1]
     # sine embedding of the RAW restarted position ids (temperature 10000,

@@ -52,8 +52,38 @@ def _detection_size(h: int, w: int, size=800, max_size=1333) -> Tuple[int, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _dino_jit(params, cfg, image, input_ids, text_mask):
-    return dino_lib.forward(params, cfg, image, input_ids, text_mask)
+def _dino_jit(params, cfg, image, input_ids, text_mask, text_feats):
+    return dino_lib.forward(
+        params, cfg, image, input_ids, text_mask, text_feats=text_feats
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _dino_text_jit(params, cfg, input_ids, text_mask):
+    return dino_lib.encode_text(params, cfg, input_ids, text_mask)
+
+
+# prompt -> (ids, device text features). A video run calls detect() once
+# per frame with the SAME prompt; the BERT prefix is image-independent
+# (dino.encode_text), so it computes once and the per-frame program skips
+# it. Bounded: repeated single-image prompts benefit too.
+_TEXT_FEAT_CACHE: dict = {}
+
+
+def _text_features(dino_params, prompt: str, vocab: dict):
+    key = (id(dino_params), prompt)  # distinct param sets don't collide
+    hit = _TEXT_FEAT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ids = _simple_bert_tokenize(prompt, vocab)
+    input_ids = jnp.asarray([ids], jnp.int32)
+    text_mask = jnp.ones_like(input_ids)
+    feats = _dino_text_jit(dino_params, dino_lib.BASE, input_ids, text_mask)
+    entry = (ids, input_ids, text_mask, feats)
+    if len(_TEXT_FEAT_CACHE) > 64:
+        _TEXT_FEAT_CACHE.clear()
+    _TEXT_FEAT_CACHE[key] = entry
+    return entry
 
 
 def _is_punctuation(ch: str) -> bool:
@@ -298,9 +328,9 @@ def detect(
     vocab = _load_vocab()
     if not prompt.endswith("."):
         prompt = prompt + "."
-    ids = _simple_bert_tokenize(prompt, vocab)
-    input_ids = jnp.asarray([ids], jnp.int32)
-    text_mask = jnp.ones_like(input_ids)
+    ids, input_ids, text_mask, text_feats = _text_features(
+        dino_params, prompt, vocab
+    )
 
     h, w = image.shape[:2]
     nh, nw = _detection_size(h, w)
@@ -309,7 +339,9 @@ def detect(
     x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
 
-    out = _dino_jit(dino_params, dino_lib.BASE, x, input_ids, text_mask)
+    out = _dino_jit(
+        dino_params, dino_lib.BASE, x, input_ids, text_mask, text_feats
+    )
     logits = np.asarray(jax.nn.sigmoid(out["pred_logits"]))[0]  # (900, T)
     boxes = np.asarray(out["pred_boxes"])[0]  # (900, 4)
 

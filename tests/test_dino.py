@@ -171,3 +171,28 @@ class TestGroundingDino:
         assert (boxes >= 0).all() and (boxes <= 1).all()
         logits = np.asarray(out["pred_logits"])  # (1, 20, T)
         assert np.isfinite(logits[0][:, np.asarray(mask[0], bool)]).all()
+
+
+class TestTextFeatureCache:
+    def test_forward_with_precomputed_text_equals_inline(self):
+        """forward(text_feats=encode_text(...)) == forward() — the prompt
+        cache (dino_sam._text_features) must not change detection."""
+        params = dino_lib.init_params(
+            jax.random.key(0), DINO_TINY, SWIN_TINY, BERT_TINY
+        )
+        img = jax.random.uniform(jax.random.key(1), (1, 64, 64, 3), jnp.float32)
+        ids = jnp.asarray([[2, 55, 12, 3]], jnp.int32)
+        mask = jnp.ones_like(ids)
+
+        inline = dino_lib.forward(
+            params, DINO_TINY, img, ids, mask, SWIN_TINY, BERT_TINY
+        )
+        feats = dino_lib.encode_text(params, DINO_TINY, ids, mask, BERT_TINY)
+        cached = dino_lib.forward(
+            params, DINO_TINY, img, ids, mask, SWIN_TINY, BERT_TINY,
+            text_feats=feats,
+        )
+        for k in ("pred_logits", "pred_boxes"):
+            np.testing.assert_allclose(
+                np.asarray(cached[k]), np.asarray(inline[k]), atol=1e-6
+            )
