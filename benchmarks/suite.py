@@ -205,22 +205,26 @@ def _measure(results, quick: bool = False, models: bool = False):
         results["mask_extraction_ms_seeded_dino_sam"] = dt * 1e3
         del dino_params, sam_params
 
-    # 4. batched throughput: video frames at 256px and images at 512px
+    # 4. batched throughput: video frames at 256px and images at 512px.
+    # The step count is part of the metric NAME — a --quick (20-step) run
+    # must not overwrite the full 100-step number under the same key (the
+    # r2 12.77 f/s entry was exactly that collision; PROFILE.md round-3b).
     frames = jax.random.uniform(jax.random.key(3), (8, 256, 256, 3), jnp.float32)
-    vcfg = GatysConfig(num_steps=20 if quick else 100)
+    vsteps = 20 if quick else 100
+    vcfg = GatysConfig(num_steps=vsteps)
 
     def video_run():
         return batched.run(vcfg, vgg_params, frames, (style,))
 
     dt = _timeit(video_run, warmup=1, iters=1)
-    results["video_frames_per_sec_256px"] = 8 / dt
+    results[f"video_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
 
     # 4b. SURVEY §6 row "Video + StyleMixer batched throughput": the same
     # batched frame loop with TWO styles (gram-space mixing, w=0.5)
     style2 = jax.random.uniform(jax.random.key(6), (1, 512, 512, 3), jnp.float32)
     dt = _timeit(lambda: batched.run(vcfg, vgg_params, frames, (style, style2)),
                  warmup=1, iters=1)
-    results["video_mixing_frames_per_sec_256px"] = 8 / dt
+    results[f"video_mixing_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
 
     if not quick:
         big = jax.random.uniform(jax.random.key(5), (8, 512, 512, 3), jnp.float32)

@@ -83,24 +83,34 @@ def style_mip(
     depth_estimator: Callable,
     vgg_params=None,
     metrics: Optional[RunMetrics] = None,
-    batched: bool = True,
+    batched: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Multi-plane-image stylization (style_transfer_depth.py:74-90).
 
     The reference runs a FULL 400-step optimization per depth layer,
-    sequentially (n x latency, SURVEY §3.4). Here the n layers are one
-    dp-batched optimization (parallel.batched) whose per-layer strengths
-    1 - i/n enter as a traced (n,) weight vector: one compiled program and
-    one device dispatch regardless of n. Measured honestly
-    (benchmarks/results.json mip4_*): wall-clock is comparable to the
-    sequential path rather than n x faster, because sequential ALREADY
-    shares one compilation across strengths (traced loss weights) and the
-    single-image loop nearly saturates the chip; what batching removes is
-    the n host round-trips — which matters when layers are many or the
-    host link is slow (axon tunnel). ``batched=False`` keeps the
-    sequential path for parity testing.
+    sequentially (n x latency, SURVEY §3.4). Two execution plans:
+
+    * ``batched`` — all n layers as ONE dp-batched optimization whose
+      per-layer strengths 1-i/n enter as a traced (n,) weight vector. On
+      a multi-chip mesh the layers shard over dp, so n layers cost ~one
+      layer's wall-clock. This is where batching pays.
+    * sequential — n runs sharing one compiled program (strengths are
+      traced). On a SINGLE chip this measured >= the batched plan at the
+      real operating points (benchmarks/PROFILE.md round-3b: 1.04x at
+      4x256px, and batched is 0.79-0.85x at 512px — one image already
+      saturates the chip and vmapped per-frame L-BFGS state adds HBM
+      traffic), so it is the single-device default.
+
+    ``batched=None`` picks automatically: batched iff a production mesh
+    exists (>1 device). Both plans are 1-step parity-tested.
     """
     import time
+
+    from tbist_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.production_mesh(dp_only=True)
+    if batched is None:
+        batched = mesh is not None
 
     depth = depth_estimator(image)
     layers = mip_ops.generate_layers(image, depth, n)  # (n, H, W, C)
@@ -135,8 +145,22 @@ def style_mip(
     )
     layers_b = style_fx._bucket(layers, gcfg)
     style_b = style_fx._bucket(style, gcfg)
+    if mesh is not None:
+        # shard the n layers over dp; pad to a dp multiple (extra rows are
+        # repeats whose results are sliced off)
+        dp = mesh.shape[mesh_lib.DP_AXIS]
+        layers_b, pad = mesh_lib.pad_to_multiple(layers_b, dp)
+        if pad:
+            w_style = jnp.concatenate(
+                [w_style, jnp.repeat(w_style[-1:], pad, 0)], 0
+            )
+        layers_b = jax.device_put(layers_b, mesh_lib.batch_sharding(mesh))
+        vgg_params = jax.device_put(vgg_params, mesh_lib.replicated(mesh))
+        style_b = jax.device_put(style_b, mesh_lib.replicated(mesh))
     t0 = time.perf_counter()
     stylized = batched_lib.run(gcfg, vgg_params, layers_b, (style_b,), w_style=w_style)
+    if mesh is not None and stylized.shape[0] != n:
+        stylized = stylized[:n]
     # sync on a SCALAR: fetching the full stack through the ~31 MB/s axon
     # tunnel would add ~400 ms inside the timed region (CLAUDE.md rule)
     jax.device_get(stylized[0, 0, 0, 0])

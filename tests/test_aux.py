@@ -372,3 +372,51 @@ class TestPallasPoolParity:
         g2 = np.asarray(jax.grad(lambda x: jnp.sum(auto_pool(x) ** 2))(x))
         np.testing.assert_array_equal(f1, f2)
         np.testing.assert_allclose(g1, g2, atol=1e-6)
+
+
+class TestPallasReluPoolParity:
+    def test_fused_relu_pool_backward_matches_auto_vjp(self):
+        """Fused relu->pool Pallas backward == XLA automatic VJP of
+        maxpool2x2(relu(pre)), incl. tie splitting and relu'(0)=0."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tbist_tpu.ops import pallas_relu_pool
+
+        def auto(pre):
+            x = jax.nn.relu(pre)
+            b, h, w, c = x.shape
+            return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+
+        pre = jax.random.uniform(
+            jax.random.key(6), (1, 16, 12, 8), jnp.float32, -0.5, 0.5
+        )
+        pre = jnp.round(pre * 4) / 4  # exact ties AND exact zeros
+        with pltpu.force_tpu_interpret_mode():
+            f1 = np.asarray(pallas_relu_pool.relu_max_pool_2x2_even(pre))
+            g1 = np.asarray(
+                jax.grad(
+                    lambda p: jnp.sum(
+                        pallas_relu_pool.relu_max_pool_2x2_even(p) ** 2
+                    )
+                )(pre)
+            )
+        f2 = np.asarray(auto(pre))
+        g2 = np.asarray(jax.grad(lambda p: jnp.sum(auto(p) ** 2))(pre))
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_allclose(g1, g2, atol=1e-6)
+
+    def test_negative_pre_blocks_gradient(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tbist_tpu.ops import pallas_relu_pool
+
+        pre = -jnp.ones((1, 4, 4, 8), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(pallas_relu_pool.relu_max_pool_2x2_even(pre))
+            g = np.asarray(
+                jax.grad(
+                    lambda p: jnp.sum(pallas_relu_pool.relu_max_pool_2x2_even(p))
+                )(pre)
+            )
+        np.testing.assert_array_equal(out, 0.0)
+        np.testing.assert_array_equal(g, 0.0)
