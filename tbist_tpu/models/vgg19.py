@@ -75,6 +75,10 @@ def _init_params_impl(key: jax.Array, dtype=jnp.float32) -> Params:
 import os
 
 _USE_PALLAS_POOL = os.environ.get("TBIST_PALLAS_POOL", "0") == "1"
+# "1": fused relu+pool Pallas backward at pool1 only; "2": at every pool.
+# Experimental (r2 VERDICT #4): makes the custom-call fence swallow the
+# relu backward + its layout transposes along with the pool backward.
+_RELU_POOL_MODE = os.environ.get("TBIST_PALLAS_RELU_POOL", "0")
 
 
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
@@ -136,9 +140,25 @@ def extract_features(
 
     feats: Dict[str, jnp.ndarray] = {}
     conv_idx = -1
+    pool_idx = 0
+    last_pre = None
     for spec in VGG19_LAYERS:
         if len(spec) == 1:  # pool
-            x = _max_pool_2x2(x)
+            fuse = _RELU_POOL_MODE == "2" or (
+                _RELU_POOL_MODE == "1" and pool_idx == 0
+            )
+            if fuse and last_pre is not None:
+                from tbist_tpu.ops import pallas_relu_pool
+
+                if pallas_relu_pool.supported(last_pre):
+                    # the separate x = relu(last_pre) above is dead code
+                    # on this path and DCE'd by XLA
+                    x = pallas_relu_pool.relu_max_pool_2x2_even(last_pre)
+                else:
+                    x = _max_pool_2x2(x)
+            else:
+                x = _max_pool_2x2(x)
+            pool_idx += 1
             continue
         name = spec[0]
         conv_idx += 1
@@ -146,6 +166,7 @@ def extract_features(
         if name in wanted:
             feats[name] = pre
         x = jax.nn.relu(pre)
+        last_pre = pre
         if conv_idx == deepest:
             break
     return feats
