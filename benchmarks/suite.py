@@ -95,16 +95,17 @@ def _model_metrics(results):
     results["t5_base_decode16_ms"] = dt * 1e3
 
 
-def main(quick: bool = False, models: bool = False):
+def main(quick: bool = False, models: bool = False, mask: bool = False):
     """Measure and merge; partial results persist even if a section dies."""
     results = {}
     try:
-        _measure(results, quick, models)
+        _measure(results, quick, models, mask)
     finally:
         _write(results)
 
 
-def _measure(results, quick: bool = False, models: bool = False):
+def _measure(results, quick: bool = False, models: bool = False, mask: bool = False):
+    # mask=True: re-measure ONLY the DINO+SAM chain sections (3b + 8)
     import jax
     import jax.numpy as jnp
 
@@ -129,6 +130,8 @@ def _measure(results, quick: bool = False, models: bool = False):
     steps = 100 if quick else 400
     on_tpu = jax.default_backend() not in ("cpu",)
     sizes = [512] if quick or not on_tpu else [512, 1024, 2048]
+    if mask:
+        sizes = []
     for size in sizes:
         import dataclasses
 
@@ -150,32 +153,45 @@ def _measure(results, quick: bool = False, models: bool = False):
         flops = 3.0 * _vgg_flops_per_image(size, size, cfg.style_layers)
         results[f"gatys_{size}px_mfu_pct"] = 100.0 * flops * it_s / 197e12
 
+    # 1b. model "load" time (SURVEY §6 row "Model load time" — the
+    # reference prints it at startup, app.py:78; here loading = seeded
+    # init or checkpoint convert of the startup models: VGG + the
+    # feed-forward text pair. Compile time is NOT included — that is
+    # per-shape and measured by e2e_clipstyler_200iter_cold_s.)
+    if not mask:
+        t0 = time.perf_counter()
+        text_transfer.default_params()
+        vgg19.init_params(jax.random.key(9))
+        results["model_load_s"] = time.perf_counter() - t0
+
     # 2. feed-forward text stylization latency
     g_params, m_params = text_transfer.default_params()
-    emb = text_transfer.fallback_text_embedding("starry night")
-    dt = _timeit(
-        lambda: text_transfer._transfer_jit(g_params, m_params, content, emb),
-        warmup=1, iters=3 if quick else 10,
-    )
-    results["fast_text_transfer_512px_ms"] = dt * 1e3
+    if not mask:
+        emb = text_transfer.fallback_text_embedding("starry night")
+        dt = _timeit(
+            lambda: text_transfer._transfer_jit(g_params, m_params, content, emb),
+            warmup=1, iters=3 if quick else 10,
+        )
+        results["fast_text_transfer_512px_ms"] = dt * 1e3
 
     # 3a. mask extraction latency — metric name states WHICH extractor
     # resolved, so a reader can never mistake the heuristic fallback for
     # the DINO+SAM chain (VERDICT r1 weak #2)
     from tbist_tpu.effects import masking
 
-    extractor = masking.default_mask_extractor()
-    resolved = (
-        "fallback" if extractor is masking._fallback_location_mask else "dino_sam"
-    )
-    dt = _timeit(lambda: extractor(content, "boat"), warmup=1, iters=3)
-    results[f"mask_extraction_ms_{resolved}"] = dt * 1e3
+    if not mask:
+        extractor = masking.default_mask_extractor()
+        resolved = (
+            "fallback" if extractor is masking._fallback_location_mask else "dino_sam"
+        )
+        dt = _timeit(lambda: extractor(content, "boat"), warmup=1, iters=3)
+        results[f"mask_extraction_ms_{resolved}"] = dt * 1e3
 
     # 3b. the REAL DINO+SAM chain with seeded weights, always benched:
     # tokenize -> resize/normalize -> GroundingDINO forward -> thresholds
     # -> SAM encoder+decoder on one box (compute identical to the
     # weights-loaded path; only the numbers in the weights differ)
-    if not quick:
+    if not quick or mask:
         from tbist_tpu.models import dino as dino_lib
         from tbist_tpu.models import dino_sam, sam as sam_lib
 
@@ -186,19 +202,21 @@ def _measure(results, quick: bool = False, models: bool = False):
         raw = (rng.random((512, 512, 3)) * 255).astype(np.uint8)
 
         def dino_sam_chain():
-            ids = dino_sam._simple_bert_tokenize("boat.", vocab)
-            input_ids = jnp.asarray([ids], jnp.int32)
-            tmask = jnp.ones_like(input_ids)
-            nh, nw = dino_sam._detection_size(512, 512)
-            x = jnp.asarray(raw)[None].astype(jnp.float32) / 255.0
-            x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
-            x = (x - dino_sam.IMAGENET_MEAN) / dino_sam.IMAGENET_STD
-            tfeats = dino_sam._dino_text_jit(dino_params, dino_lib.BASE, input_ids, tmask)
-            out = dino_sam._dino_jit(dino_params, dino_lib.BASE, x, input_ids, tmask, tfeats)
-            np.asarray(out["pred_boxes"])  # host sync as in detect()
+            # mirrors extract_mask's production layout: ONE uint8 upload
+            # shared by both models, SAM encoder queued before the host
+            # blocks on DINO outputs (forced box replaces thresholding so
+            # seeded weights stay deterministic)
+            img_dev = dino_sam._device_uint8(raw)
+            ids, out = dino_sam._detect_dispatch(dino_params, img_dev, "boat.", vocab)
+            emb, scale, nh, nw = sam_lib.encode_uint8(
+                sam_params, sam_lib.BASE, img_dev
+            )
+            np.asarray(out["pred_boxes"])  # host sync as in _detect_collect()
             boxes = np.asarray([[100.0, 100.0, 400.0, 380.0]], np.float32)
             return jnp.asarray(
-                sam_lib.predict_boxes(sam_params, sam_lib.BASE, raw, boxes)
+                sam_lib.masks_from_embedding(
+                    sam_params, sam_lib.BASE, emb, scale, nh, nw, 512, 512, boxes
+                )
             )
 
         dt = _timeit(dino_sam_chain, warmup=1, iters=3)
@@ -216,17 +234,19 @@ def _measure(results, quick: bool = False, models: bool = False):
     def video_run():
         return batched.run(vcfg, vgg_params, frames, (style,))
 
-    dt = _timeit(video_run, warmup=1, iters=1)
-    results[f"video_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
+    if not mask:
+        dt = _timeit(video_run, warmup=1, iters=1)
+        results[f"video_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
 
     # 4b. SURVEY §6 row "Video + StyleMixer batched throughput": the same
     # batched frame loop with TWO styles (gram-space mixing, w=0.5)
-    style2 = jax.random.uniform(jax.random.key(6), (1, 512, 512, 3), jnp.float32)
-    dt = _timeit(lambda: batched.run(vcfg, vgg_params, frames, (style, style2)),
-                 warmup=1, iters=1)
-    results[f"video_mixing_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
+    if not mask:
+        style2 = jax.random.uniform(jax.random.key(6), (1, 512, 512, 3), jnp.float32)
+        dt = _timeit(lambda: batched.run(vcfg, vgg_params, frames, (style, style2)),
+                     warmup=1, iters=1)
+        results[f"video_mixing_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
 
-    if not quick:
+    if not quick and not mask:
         big = jax.random.uniform(jax.random.key(5), (8, 512, 512, 3), jnp.float32)
         bcfg = GatysConfig(num_steps=100)
         dt = _timeit(lambda: batched.run(bcfg, vgg_params, big, (style,)),
@@ -235,19 +255,20 @@ def _measure(results, quick: bool = False, models: bool = False):
         results["batch8_512px_iters_per_sec_per_frame"] = bcfg.num_steps / dt
 
     # 5. emoji merge latency (512px mask, 172px stencil)
-    seg = jnp.zeros((512, 512), bool).at[128:384, 128:384].set(True)
-    emoji = jax.random.uniform(jax.random.key(4), (172, 172)) > 0.5
-    dt = _timeit(
-        lambda: masks.merge_content_style_masks(seg, emoji, 95, 0.5),
-        warmup=1, iters=3,
-    )
-    results["emoji_merge_512px_ms"] = dt * 1e3
+    if not mask:
+        seg = jnp.zeros((512, 512), bool).at[128:384, 128:384].set(True)
+        emoji = jax.random.uniform(jax.random.key(4), (172, 172)) > 0.5
+        dt = _timeit(
+            lambda: masks.merge_content_style_masks(seg, emoji, 95, 0.5),
+            warmup=1, iters=3,
+        )
+        results["emoji_merge_512px_ms"] = dt * 1e3
 
     # 6. MIP depth layers: one batched optimization vs n sequential runs —
     # at the REAL operating points (r2 VERDICT #6): n=2 is the UI default
     # (reference app.py:976 value=2) and real images are 512px; the 256px
     # n=4 point is kept for cross-round comparability.
-    if not quick:
+    if not quick and not mask:
         from tbist_tpu.effects import depth as depth_fx
 
         est = depth_fx._fallback_depth
@@ -282,7 +303,7 @@ def _measure(results, quick: bool = False, models: bool = False):
     # 7. the north-star metric, RECORDED not derived (r2 VERDICT #5):
     # 200-iter CLIPstyler-style run at 512px, end-to-end — host upload,
     # optimization, uint8 result fetch. Cold includes compilation.
-    if not quick:
+    if not quick and not mask:
         from tbist_tpu.utils.imageio import to_uint8
 
         cfg200 = GatysConfig(num_steps=200)
@@ -306,7 +327,7 @@ def _measure(results, quick: bool = False, models: bool = False):
     # 8. end-to-end text chain (r2 VERDICT #5): prompt -> seeded DINO+SAM
     # location mask -> Ghiasi text transfer -> emoji-stencil composite —
     # SURVEY §3.2's richest path as one user-visible latency.
-    if not quick:
+    if not quick or mask:
         from tbist_tpu.effects import masking as masking_fx
         from tbist_tpu.models import dino as dino_lib
         from tbist_tpu.models import dino_sam, sam as sam_lib
@@ -320,27 +341,30 @@ def _measure(results, quick: bool = False, models: bool = False):
         emoji = np.asarray(masking_fx._fallback_emoji_stencil("fire"))
 
         def text_chain():
-            # location mask: tokenize -> DINO -> boxes -> SAM
-            ids = dino_sam._simple_bert_tokenize("boat.", vocab)
-            input_ids = jnp.asarray([ids], jnp.int32)
-            tmask = jnp.ones_like(input_ids)
-            nh, nw = dino_sam._detection_size(512, 512)
-            x = jnp.asarray(raw)[None].astype(jnp.float32) / 255.0
-            x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
-            x = (x - dino_sam.IMAGENET_MEAN) / dino_sam.IMAGENET_STD
-            tfeats = dino_sam._dino_text_jit(dino_params, dino_lib.BASE, input_ids, tmask)
-            det = dino_sam._dino_jit(dino_params, dino_lib.BASE, x, input_ids, tmask, tfeats)
-            np.asarray(det["pred_boxes"])  # host sync as in detect()
+            # location mask: one uint8 upload, DINO + SAM encoder queued
+            # back-to-back before the host blocks (mirrors extract_mask)
+            img_dev = dino_sam._device_uint8(raw)
+            ids, det = dino_sam._detect_dispatch(
+                dino_params, img_dev, "boat.", vocab
+            )
+            semb, scale, snh, snw = sam_lib.encode_uint8(
+                sam_params, sam_lib.BASE, img_dev
+            )
+            np.asarray(det["pred_boxes"])  # host sync as in _detect_collect()
             boxes = np.asarray([[100.0, 100.0, 400.0, 380.0]], np.float32)
             seg = (
                 jnp.asarray(
-                    sam_lib.predict_boxes(sam_params, sam_lib.BASE, raw, boxes)
+                    sam_lib.masks_from_embedding(
+                        sam_params, sam_lib.BASE, semb, scale, snh, snw,
+                        512, 512, boxes,
+                    )
                 ).sum(0)
                 > 0
             )
-            # feed-forward text stylization of the full frame
+            # feed-forward text stylization of the full frame (same shared
+            # device upload)
             emb = text_transfer.fallback_text_embedding("fire")
-            img = jnp.asarray(raw)[None].astype(jnp.float32) / 255.0
+            img = img_dev[None].astype(jnp.float32) / 255.0
             styled = text_transfer._transfer_jit(g_params, m_params, img, emb)
             # emoji-augmented composite (app.py:184-187 semantics)
             merged = masks.merge_content_style_masks(seg, jnp.asarray(emoji), 95, 0.5)
@@ -374,5 +398,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--models", action="store_true")
+    ap.add_argument("--mask", action="store_true",
+                    help="re-measure only the DINO+SAM chain metrics")
     args = ap.parse_args()
-    main(args.quick, args.models)
+    main(args.quick, args.models, args.mask)

@@ -51,16 +51,25 @@ def _detection_size(h: int, w: int, size=800, max_size=1333) -> Tuple[int, int]:
     return max(32, round(nh / 32) * 32), max(32, round(nw / 32) * 32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _dino_jit(params, cfg, image, input_ids, text_mask, text_feats):
+@functools.partial(jax.jit, static_argnames=("cfg", "swin_cfg", "bert_cfg"))
+def _dino_jit(
+    params, cfg, image, input_ids, text_mask, text_feats,
+    swin_cfg=None, bert_cfg=None,
+):
+    kw = {}
+    if swin_cfg is not None:
+        kw["swin_cfg"] = swin_cfg
+    if bert_cfg is not None:
+        kw["bert_cfg"] = bert_cfg
     return dino_lib.forward(
-        params, cfg, image, input_ids, text_mask, text_feats=text_feats
+        params, cfg, image, input_ids, text_mask, text_feats=text_feats, **kw
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _dino_text_jit(params, cfg, input_ids, text_mask):
-    return dino_lib.encode_text(params, cfg, input_ids, text_mask)
+@functools.partial(jax.jit, static_argnames=("cfg", "bert_cfg"))
+def _dino_text_jit(params, cfg, input_ids, text_mask, bert_cfg=None):
+    kw = {} if bert_cfg is None else {"bert_cfg": bert_cfg}
+    return dino_lib.encode_text(params, cfg, input_ids, text_mask, **kw)
 
 
 # prompt -> (ids, device text features). A video run calls detect() once
@@ -70,15 +79,16 @@ def _dino_text_jit(params, cfg, input_ids, text_mask):
 _TEXT_FEAT_CACHE: dict = {}
 
 
-def _text_features(dino_params, prompt: str, vocab: dict):
-    key = (id(dino_params), prompt)  # distinct param sets don't collide
+def _text_features(dino_params, prompt: str, vocab: dict, cfg=None, bert_cfg=None):
+    cfg = cfg or dino_lib.BASE
+    key = (id(dino_params), prompt, cfg, bert_cfg)  # param sets don't collide
     hit = _TEXT_FEAT_CACHE.get(key)
     if hit is not None:
         return hit
     ids = _simple_bert_tokenize(prompt, vocab)
     input_ids = jnp.asarray([ids], jnp.int32)
     text_mask = jnp.ones_like(input_ids)
-    feats = _dino_text_jit(dino_params, dino_lib.BASE, input_ids, text_mask)
+    feats = _dino_text_jit(dino_params, cfg, input_ids, text_mask, bert_cfg=bert_cfg)
     entry = (ids, input_ids, text_mask, feats)
     if len(_TEXT_FEAT_CACHE) > 64:
         _TEXT_FEAT_CACHE.clear()
@@ -321,30 +331,47 @@ def filter_phrases(
     return keep, phrases
 
 
-def detect(
-    dino_params, image: np.ndarray, prompt: str
-) -> Tuple[np.ndarray, List[str]]:
-    """(H, W, 3) uint8 RGB + prompt -> (boxes cxcywh in [0,1], phrases)."""
-    vocab = _load_vocab()
+def _device_uint8(image) -> jnp.ndarray:
+    """(H, W, 3) uint8 -> on-device uint8 array (no-op if already there)."""
+    if isinstance(image, jnp.ndarray):
+        return image
+    return jnp.asarray(np.ascontiguousarray(image))
+
+
+def _detect_dispatch(
+    dino_params, img_dev: jnp.ndarray, prompt: str, vocab: dict,
+    cfg=None, swin_cfg=None, bert_cfg=None, det_hw=None,
+):
+    """Queue the GroundingDINO forward; return (ids, async outputs).
+
+    Does NOT block on the device — the caller may queue further programs
+    (the SAM image encoder, which is image-only) before fetching. The
+    optional cfg/det_hw overrides let tiny weights-free tests drive the
+    exact production chain.
+    """
+    cfg = cfg or dino_lib.BASE
     if not prompt.endswith("."):
         prompt = prompt + "."
     ids, input_ids, text_mask, text_feats = _text_features(
-        dino_params, prompt, vocab
+        dino_params, prompt, vocab, cfg=cfg, bert_cfg=bert_cfg
     )
-
-    h, w = image.shape[:2]
-    nh, nw = _detection_size(h, w)
+    h, w = img_dev.shape[:2]
+    nh, nw = det_hw or _detection_size(h, w)
     # uint8 upload + device-side cast (axon tunnel: 4x fewer bytes than f32)
-    x = jnp.asarray(np.ascontiguousarray(image))[None].astype(jnp.float32) / 255.0
+    x = img_dev[None].astype(jnp.float32) / 255.0
     x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
-
     out = _dino_jit(
-        dino_params, dino_lib.BASE, x, input_ids, text_mask, text_feats
+        dino_params, cfg, x, input_ids, text_mask, text_feats,
+        swin_cfg=swin_cfg, bert_cfg=bert_cfg,
     )
+    return ids, out
+
+
+def _detect_collect(ids, out, vocab) -> Tuple[np.ndarray, List[str]]:
+    """Block on the DINO outputs, threshold, and decode phrases."""
     logits = np.asarray(jax.nn.sigmoid(out["pred_logits"]))[0]  # (900, T)
     boxes = np.asarray(out["pred_boxes"])[0]  # (900, 4)
-
     keep = logits.max(axis=1) > BOX_THRESHOLD
     logits, boxes = logits[keep], boxes[keep]
     inv_vocab = {v: k for k, v in vocab.items()}
@@ -352,20 +379,53 @@ def detect(
     return boxes[keep2], phrases
 
 
-def extract_mask(dino_params, sam_params, image: np.ndarray, prompt: str) -> jnp.ndarray:
-    """Full TextMaskExtractor pipeline -> (H, W) bool mask."""
-    h, w = image.shape[:2]
-    boxes, _ = detect(dino_params, image, prompt)
-    if boxes.shape[0] == 0:
-        return jnp.zeros((h, w), bool)
-    # cxcywh [0,1] -> xyxy pixels (TextMaskExtractor.py:55-59)
+def detect(
+    dino_params, image: np.ndarray, prompt: str, **cfg_kw
+) -> Tuple[np.ndarray, List[str]]:
+    """(H, W, 3) uint8 RGB + prompt -> (boxes cxcywh in [0,1], phrases)."""
+    vocab = cfg_kw.pop("vocab", None) or _load_vocab()
+    ids, out = _detect_dispatch(
+        dino_params, _device_uint8(image), prompt, vocab, **cfg_kw
+    )
+    return _detect_collect(ids, out, vocab)
+
+
+def _boxes_to_xyxy(boxes: np.ndarray, h: int, w: int) -> np.ndarray:
+    """cxcywh [0,1] -> xyxy pixels (TextMaskExtractor.py:55-59)."""
     scale = np.array([w, h, w, h], np.float32)
     b = boxes * scale
-    xyxy = np.stack(
+    return np.stack(
         [b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
          b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], axis=1,
     )
-    masks = sam_lib.predict_boxes(sam_params, sam_lib.BASE, image, xyxy)
+
+
+def extract_mask(
+    dino_params, sam_params, image: np.ndarray, prompt: str,
+    sam_cfg=None, vocab=None, **cfg_kw,
+) -> jnp.ndarray:
+    """Full TextMaskExtractor pipeline -> (H, W) bool mask.
+
+    TPU-first chain layout (vs the strictly serial reference
+    TextMaskExtractor.py:25-68): the frame is uploaded ONCE as uint8 and
+    shared by both models, and the SAM image encoder (image-only, no box
+    dependency) is queued on-device BEFORE the host blocks on DINO's
+    logits — the device runs DINO then SAM back-to-back while the host
+    does its thresholding/phrase work, instead of idling between stages.
+    """
+    sam_cfg = sam_cfg or sam_lib.BASE
+    h, w = image.shape[:2]
+    vocab = vocab or _load_vocab()
+    img_dev = _device_uint8(image)
+    ids, pending = _detect_dispatch(dino_params, img_dev, prompt, vocab, **cfg_kw)
+    emb, scale, nh, nw = sam_lib.encode_uint8(sam_params, sam_cfg, img_dev)
+    boxes, _ = _detect_collect(ids, pending, vocab)
+    if boxes.shape[0] == 0:
+        return jnp.zeros((h, w), bool)
+    xyxy = _boxes_to_xyxy(boxes, h, w)
+    masks = sam_lib.masks_from_embedding(
+        sam_params, sam_cfg, emb, scale, nh, nw, h, w, xyxy
+    )
     return jnp.asarray(masks.sum(0) > 0)
 
 
@@ -385,7 +445,7 @@ def get_mask_extractor() -> Callable:
     sd = ckpt.get("model", ckpt)
     dino_params = dino_convert.convert({k: v.numpy() for k, v in sd.items()})
     logger.info("GroundingDINO: converted checkpoint from %s", dino_path)
-    sam_predict = sam_lib.get_predictor()  # raises if SAM missing
+    sam_params = sam_lib.get_loaded_params()  # raises if SAM missing
 
     def extractor(image, prompt: str) -> jnp.ndarray:
         arr = np.asarray(image)
@@ -393,18 +453,7 @@ def get_mask_extractor() -> Callable:
             arr = arr[0]
         if arr.dtype.kind == "f":
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-        # reuse the already-loaded SAM params through the cached predictor
-        h, w = arr.shape[:2]
-        boxes, _ = detect(dino_params, arr, prompt)
-        if boxes.shape[0] == 0:
-            return jnp.zeros((h, w), bool)
-        scale = np.array([w, h, w, h], np.float32)
-        b = boxes * scale
-        xyxy = np.stack(
-            [b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
-             b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], axis=1,
-        )
-        masks = sam_predict(arr, xyxy)
-        return jnp.asarray(masks.sum(0) > 0)
+        # same single-upload + overlapped-dispatch chain as extract_mask
+        return extract_mask(dino_params, sam_params, arr, prompt)
 
     return extractor

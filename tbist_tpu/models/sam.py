@@ -345,27 +345,37 @@ def _decode_jit(params, cfg: SamConfig, emb, boxes01):
     return decode_masks(params, cfg, emb, boxes01)
 
 
-def predict_boxes(
-    params, cfg: SamConfig, image: np.ndarray, boxes_xyxy: np.ndarray
-) -> np.ndarray:
-    """image: (H, W, 3) uint8 RGB; boxes in pixel xyxy. -> (N, H, W) bool.
+def encode_uint8(params, cfg: SamConfig, image) -> Tuple:
+    """Preprocess + dispatch the image encoder; return (emb, scale, nh, nw).
 
-    Host-side pre/post (resize bookkeeping) mirrors SamPredictor: longest
-    side to 1024, zero-pad to square, mask logits > 0.
+    ``image`` is (H, W, 3) uint8 — host numpy OR an already-on-device
+    array (the DINO+SAM chain uploads the frame ONCE and shares it; a
+    512px uint8 upload through the ~31 MB/s axon tunnel costs ~25 ms).
+    Returns without blocking: ``emb`` is an async device value, so the
+    caller can queue this encoder behind an in-flight DINO forward and
+    only block later (SamPredictor.set_image has no such overlap — it is
+    torch-eager; reference TextMaskExtractor.py:25-68 runs the stages
+    strictly serially).
     """
     h, w = image.shape[:2]
     scale = cfg.img_size / max(h, w)
     nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
 
-    # upload uint8 and cast on device: a 1024/512px f32 upload through the
-    # ~31 MB/s axon tunnel costs 4x the bytes for nothing
-    x = jnp.asarray(np.ascontiguousarray(image))[None].astype(jnp.float32)
+    if isinstance(image, jnp.ndarray):
+        x = image[None].astype(jnp.float32)
+    else:
+        # upload uint8 and cast on device: f32 would cost 4x the bytes
+        x = jnp.asarray(np.ascontiguousarray(image))[None].astype(jnp.float32)
     x = jax.image.resize(x, (1, nh, nw, 3), "bilinear")
     x = (x - PIXEL_MEAN) / PIXEL_STD
     x = jnp.pad(x, ((0, 0), (0, cfg.img_size - nh), (0, cfg.img_size - nw), (0, 0)))
+    return _encode_jit(params, cfg, x), scale, nh, nw
 
-    emb = _encode_jit(params, cfg, x)
 
+def masks_from_embedding(
+    params, cfg: SamConfig, emb, scale, nh, nw, h, w, boxes_xyxy
+) -> np.ndarray:
+    """Decode pixel-xyxy boxes against a precomputed embedding -> (N, H, W) bool."""
     boxes = np.asarray(boxes_xyxy, np.float32) * scale
     # +0.5 shifts coords to pixel centers before normalizing against the
     # PADDED square (SamPromptEncoder._embed_boxes: `boxes = boxes + 0.5`)
@@ -378,6 +388,19 @@ def predict_boxes(
     up = up[:, :nh, :nw]
     full = jax.image.resize(up, (n, h, w), "bilinear")
     return np.asarray(full > 0.0)
+
+
+def predict_boxes(
+    params, cfg: SamConfig, image: np.ndarray, boxes_xyxy: np.ndarray
+) -> np.ndarray:
+    """image: (H, W, 3) uint8 RGB; boxes in pixel xyxy. -> (N, H, W) bool.
+
+    Host-side pre/post (resize bookkeeping) mirrors SamPredictor: longest
+    side to 1024, zero-pad to square, mask logits > 0.
+    """
+    h, w = image.shape[:2]
+    emb, scale, nh, nw = encode_uint8(params, cfg, image)
+    return masks_from_embedding(params, cfg, emb, scale, nh, nw, h, w, boxes_xyxy)
 
 
 # ---------------------------------------------------------------------------
@@ -578,7 +601,8 @@ def _init_params_impl(key: jax.Array, cfg: SamConfig = BASE) -> Dict:
 
 
 @functools.lru_cache(maxsize=1)
-def get_predictor() -> Callable:
+def get_loaded_params():
+    """Converted checkpoint params (cached); raises if the .pth is absent."""
     path = os.environ.get(
         "TBIST_SAM_PTH", os.path.join(_CACHE_DIR, "sam_vit_b_01ec64.pth")
     )
@@ -589,7 +613,12 @@ def get_predictor() -> Callable:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     params = convert_sam_state_dict({k: v.numpy() for k, v in sd.items()})
     logger.info("SAM ViT-B: converted checkpoint from %s", path)
-    return functools.partial(predict_boxes, params, BASE)
+    return params
+
+
+@functools.lru_cache(maxsize=1)
+def get_predictor() -> Callable:
+    return functools.partial(predict_boxes, get_loaded_params(), BASE)
 
 
 def init_params(*args, **kwargs):

@@ -235,3 +235,62 @@ class TestExtractorFallback:
     def test_missing_weights_raise(self):
         with pytest.raises(Exception):
             dino_sam.get_mask_extractor.__wrapped__()
+
+
+class TestOverlappedChainTiny:
+    """End-to-end drive of the production extract_mask chain (single
+    uint8 upload shared by DINO and SAM, SAM encoder dispatched before
+    the host blocks on DINO) with tiny seeded models, checked against
+    the sequential detect() + predict_boxes() composition."""
+
+    def test_extract_mask_matches_sequential(self, monkeypatch):
+        import jax
+
+        from tbist_tpu.models import bert as bert_lib
+        from tbist_tpu.models import dino as dino_lib
+        from tbist_tpu.models import sam as sam_lib
+        from tbist_tpu.models import swin as swin_lib
+
+        swin_tiny = swin_lib.SwinConfig(
+            embed_dim=8, depths=(1, 1, 1, 1), heads=(1, 2, 4, 8), window=4,
+            mlp_ratio=2, out_indices=(1, 2, 3),
+        )
+        bert_tiny = bert_lib.BertConfig(
+            vocab=128, hidden=32, layers=2, heads=2, ffn=64, max_pos=64,
+            type_vocab=2,
+        )
+        dino_tiny = dino_lib.DinoConfig(
+            d_model=16, heads=2, levels=4, points=2, enc_layers=2,
+            dec_layers=2, ffn=32, num_queries=20, fusion_heads=2,
+            fusion_dim=32,
+        )
+        sam_tiny = sam_lib.SamConfig(
+            img_size=64, patch=16, width=32, layers=2, heads=2, window=2,
+            global_layers=(1,), embed_dim=32, decoder_heads=2,
+            decoder_layers=2, mlp_dim=64, num_mask_tokens=4,
+        )
+        dparams = dino_lib.init_params(
+            jax.random.key(0), dino_tiny, swin_tiny, bert_tiny
+        )
+        sparams = sam_lib.init_params(jax.random.key(1), sam_tiny)
+        vocab = {"[CLS]": 0, "[SEP]": 1, "[UNK]": 2, "boat": 3, ".": 4}
+        # disable thresholds so seeded logits keep every query/token
+        monkeypatch.setattr(dino_sam, "BOX_THRESHOLD", -1.0)
+        monkeypatch.setattr(dino_sam, "TEXT_THRESHOLD", -1.0)
+
+        rng = np.random.default_rng(7)
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        kw = dict(
+            cfg=dino_tiny, swin_cfg=swin_tiny, bert_cfg=bert_tiny,
+            det_hw=(64, 64),
+        )
+        mask = dino_sam.extract_mask(
+            dparams, sparams, img, "boat", sam_cfg=sam_tiny, vocab=vocab, **kw
+        )
+        assert mask.shape == (64, 64) and mask.dtype == bool
+
+        boxes, phrases = dino_sam.detect(dparams, img, "boat", vocab=vocab, **kw)
+        assert boxes.shape[0] > 0 and len(phrases) == boxes.shape[0]
+        xyxy = dino_sam._boxes_to_xyxy(boxes, 64, 64)
+        masks = sam_lib.predict_boxes(sparams, sam_tiny, img, xyxy)
+        np.testing.assert_array_equal(np.asarray(mask), masks.sum(0) > 0)

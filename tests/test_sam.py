@@ -36,6 +36,21 @@ class TestSam:
         assert masks.shape == (1, 50, 70)
         assert masks.dtype == bool
 
+    def test_split_encode_decode_matches_predict_boxes(self):
+        """encode_uint8 + masks_from_embedding == predict_boxes, for both
+        host-numpy and already-on-device uint8 inputs (the DINO+SAM chain
+        uploads the frame once and shares the device array)."""
+        rng = np.random.default_rng(6)
+        img = (rng.random((50, 70, 3)) * 255).astype(np.uint8)
+        boxes = np.asarray([[10.0, 10.0, 40.0, 45.0]], np.float32)
+        want = sam.predict_boxes(PARAMS, TINY, img, boxes)
+        for inp in (img, jnp.asarray(img)):
+            emb, scale, nh, nw = sam.encode_uint8(PARAMS, TINY, inp)
+            got = sam.masks_from_embedding(
+                PARAMS, TINY, emb, scale, nh, nw, 50, 70, boxes
+            )
+            np.testing.assert_array_equal(got, want)
+
     def test_window_partition_roundtrip(self):
         x = jax.random.normal(jax.random.key(4), (1, 6, 5, 8), jnp.float32)
         wins, pad_hw = sam._window_partition(x, 4)
