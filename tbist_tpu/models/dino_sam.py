@@ -81,10 +81,13 @@ _TEXT_FEAT_CACHE: dict = {}
 
 def _text_features(dino_params, prompt: str, vocab: dict, cfg=None, bert_cfg=None):
     cfg = cfg or dino_lib.BASE
-    key = (id(dino_params), prompt, cfg, bert_cfg)  # param sets don't collide
+    # id()-keyed on params AND vocab; the cache value keeps strong refs to
+    # both so neither id can be recycled by the allocator while the entry
+    # lives (a GC'd params dict could otherwise alias a fresh one).
+    key = (id(dino_params), id(vocab), prompt, cfg, bert_cfg)
     hit = _TEXT_FEAT_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[0]
     ids = _simple_bert_tokenize(prompt, vocab)
     input_ids = jnp.asarray([ids], jnp.int32)
     text_mask = jnp.ones_like(input_ids)
@@ -92,7 +95,7 @@ def _text_features(dino_params, prompt: str, vocab: dict, cfg=None, bert_cfg=Non
     entry = (ids, input_ids, text_mask, feats)
     if len(_TEXT_FEAT_CACHE) > 64:
         _TEXT_FEAT_CACHE.clear()
-    _TEXT_FEAT_CACHE[key] = entry
+    _TEXT_FEAT_CACHE[key] = (entry, dino_params, vocab)
     return entry
 
 

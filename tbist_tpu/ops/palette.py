@@ -79,7 +79,10 @@ def palette_from_image(
 
     Matches ColourPalette.set_palette_from_image (colour_palette.py:53-64):
     the palette is the sorted unique set of quantized pixel values.
+    ``num_colors`` clamps to >=1: the reference UI slider allows 0, which
+    crashes its cv2.kmeans (intended divergence, PARITY.md).
     """
+    num_colors = max(1, int(num_colors))
     flat = (img.reshape(-1, 3) * 255.0) if img.dtype.kind == "f" else img.reshape(-1, 3)
     centers, labels = kmeans(jnp.asarray(flat, jnp.float32), num_colors, key)
     quantized = np.asarray(centers, dtype=np.float32)[np.asarray(labels)]

@@ -138,26 +138,49 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
         g_params = jax.device_put(g_params, mesh_lib.replicated(mesh))
         style = jax.device_put(style, mesh_lib.replicated(mesh))
 
-    fwd = jax.jit(lambda x, s: ghiasi.apply(g_params, x, s))
-    bsz = max(req.video.frame_batch, dp)
+    fwd = jax.jit(lambda x, s: ghiasi.apply(g_params, x.astype(jnp.float32) / 255.0, s))
+    bsz = _chunk_size(req.video.frame_batch, dp)
     outs: List[np.ndarray] = []
-    stack = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
+    stack = np.stack(frames)  # host uint8; upload per chunk, cast on device
     for i in range(0, stack.shape[0], bsz):
-        chunk = stack[i : i + bsz]
-        pad = 0
-        if chunk.shape[0] < bsz and i > 0:
-            pad = bsz - chunk.shape[0]
-            chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
-        elif mesh is not None:
-            chunk, pad = mesh_lib.pad_to_multiple(chunk, dp)
-        if mesh is not None:
-            chunk = jax.device_put(chunk, mesh_lib.batch_sharding(mesh))
+        chunk, pad = _pad_chunk(stack[i : i + bsz], bsz, dp, first=i == 0)
+        chunk = _upload(chunk, mesh)
         sv = jnp.broadcast_to(style, (chunk.shape[0], style.shape[1]))
         res = fwd(chunk, sv)
         if pad:
             res = res[:-pad]
         outs.extend(to_uint8(r) for r in np.asarray(res))
     return outs
+
+
+def _chunk_size(frame_batch: int, dp: int) -> int:
+    """Frame-chunk size: at least one frame per dp shard, rounded UP to a
+    dp multiple so every padded chunk tiles evenly over the mesh (a bsz
+    that is not a dp multiple would make jax.device_put reject the
+    sharding)."""
+    bsz = max(frame_batch, dp)
+    return -(-bsz // dp) * dp
+
+
+def _pad_chunk(chunk: np.ndarray, bsz: int, dp: int, first: bool):
+    """Pad a host frame chunk by repeating the last frame. Non-first short
+    chunks pad to ``bsz`` (keep one compiled shape); a lone first chunk
+    pads only to the next dp multiple (smaller program)."""
+    target = bsz if not first else -(-chunk.shape[0] // dp) * dp
+    pad = target - chunk.shape[0]
+    if pad:
+        chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)], 0)
+    return chunk, pad
+
+
+def _upload(chunk: np.ndarray, mesh) -> jnp.ndarray:
+    """Ship a uint8 frame chunk to device(s); cast happens on device (4x
+    fewer bytes through the host link than f32)."""
+    from tbist_tpu.parallel import mesh as mesh_lib
+
+    if mesh is not None:
+        return jax.device_put(chunk, mesh_lib.batch_sharding(mesh))
+    return jnp.asarray(chunk)
 
 
 def apply_video(
@@ -203,7 +226,10 @@ def apply_video(
 
     new_fps = fps * (vcfg.interpolation_frames + 1) if vcfg.interpolation_frames else fps
     if vcfg.slowmo:
-        new_fps = math.floor(new_fps * vcfg.slowmo)
+        # floor matches app.py:850-851 exactly; the max(1,·) guard is an
+        # intended divergence (reference writes fps=0 mp4s when
+        # floor(fps*speed)==0, e.g. 8fps at 0.1x — PARITY.md).
+        new_fps = max(1, math.floor(new_fps * vcfg.slowmo))
     if out_path is None:
         out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
     return write_video(final, new_fps, out_path)
@@ -231,9 +257,7 @@ def _batched_style(
 
     h, w = frames[0].shape[:2]
     bh, bw = bucket_shape(h, w, cfg.shape_bucket, cfg.max_side)
-    stack = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
-    if (bh, bw) != (h, w):
-        stack = jax.image.resize(stack, (stack.shape[0], bh, bw, 3), "bilinear")
+    stack = np.stack(frames)  # host uint8; upload per chunk, cast on device
     style = inputs.style_image
     sh, sw = bucket_shape(style.shape[1], style.shape[2], cfg.shape_bucket, cfg.max_side)
     if (sh, sw) != (style.shape[1], style.shape[2]):
@@ -249,19 +273,14 @@ def _batched_style(
             dp, mesh.shape[mesh_lib.SP_AXIS],
         )
 
-    bsz = max(req.video.frame_batch, dp)
+    bsz = _chunk_size(req.video.frame_batch, dp)
     outs = []
     for i in range(0, stack.shape[0], bsz):
-        chunk = stack[i : i + bsz]
-        pad = 0
-        if chunk.shape[0] < bsz and i > 0:
-            pad = bsz - chunk.shape[0]  # keep one compiled shape
-            chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
-        elif mesh is not None:
-            chunk, pad = mesh_lib.pad_to_multiple(chunk, dp)
-        if mesh is not None:
-            chunk = jax.device_put(chunk, mesh_lib.batch_sharding(mesh))
-        res = batched.run(cfg, vgg_params, chunk, (style,))
+        chunk, pad = _pad_chunk(stack[i : i + bsz], bsz, dp, first=i == 0)
+        x = _upload(chunk, mesh).astype(jnp.float32) / 255.0
+        if (bh, bw) != (h, w):
+            x = jax.image.resize(x, (x.shape[0], bh, bw, 3), "bilinear")
+        res = batched.run(cfg, vgg_params, x, (style,))
         if pad:
             res = res[:-pad]
         if (bh, bw) != (h, w):

@@ -294,3 +294,40 @@ class TestOverlappedChainTiny:
         xyxy = dino_sam._boxes_to_xyxy(boxes, 64, 64)
         masks = sam_lib.predict_boxes(sparams, sam_tiny, img, xyxy)
         np.testing.assert_array_equal(np.asarray(mask), masks.sum(0) > 0)
+
+
+class TestTextFeatureCacheKeying:
+    def test_vocab_change_is_a_cache_miss(self, monkeypatch):
+        """Same params + prompt with a DIFFERENT vocab must retokenize and
+        re-encode (regression: vocab was absent from the cache key, so a
+        second vocab silently reused the first's token ids/features)."""
+        import numpy as np
+
+        from tbist_tpu.models import dino_sam
+
+        calls = []
+
+        def fake_encode(params, cfg, ids, mask, bert_cfg=None):
+            calls.append(np.asarray(ids).tolist())
+            return np.asarray(ids, np.float32)
+
+        monkeypatch.setattr(dino_sam, "_dino_text_jit", fake_encode)
+        dino_sam._TEXT_FEAT_CACHE.clear()
+        params = {"w": 1}
+        v1 = {"[CLS]": 0, "[SEP]": 1, "boat": 2, "[UNK]": 3}
+        v2 = {"[CLS]": 10, "[SEP]": 11, "boat": 12, "[UNK]": 13}
+
+        ids1 = dino_sam._text_features(params, "boat", v1)[0]
+        ids2 = dino_sam._text_features(params, "boat", v2)[0]
+        assert ids1 != ids2 and len(calls) == 2
+
+        assert dino_sam._text_features(params, "boat", v1)[0] == ids1
+        assert len(calls) == 2  # hit: no new encode
+
+        # entries pin strong refs to params AND vocab so the id()-based
+        # key cannot alias a recycled object
+        assert any(
+            p is params and v is v1
+            for (_, p, v) in dino_sam._TEXT_FEAT_CACHE.values()
+        )
+        dino_sam._TEXT_FEAT_CACHE.clear()

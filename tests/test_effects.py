@@ -213,3 +213,13 @@ class TestBasicEffects:
         )
         out = basic.color_palette_transfer(IMG, tgt)
         assert abs(float(out.mean()) - float(tgt.mean())) < 0.15
+
+
+class TestPaletteClamp:
+    def test_zero_colors_clamps_to_one(self):
+        """The UI slider now allows 0 (reference widget range); the
+        extractor must clamp rather than crash kmeans (the reference's
+        cv2.kmeans raises at K=0 — intended divergence, PARITY.md)."""
+        img = jnp.asarray(np.random.default_rng(3).random((8, 8, 3)), jnp.float32)
+        pal = palette_ops.palette_from_image(img, 0, jax.random.key(0))
+        assert pal.ndim == 2 and pal.shape[0] >= 1 and pal.shape[1] == 3

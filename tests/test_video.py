@@ -104,6 +104,38 @@ class TestVideoPipeline:
         req = EffectRequest(grayscale=True)
         assert vid.apply_video(None, req) is None
 
+    def test_chunking_rounds_to_dp_multiple(self):
+        """frame_batch not a multiple of the device count must still shard
+        (regression: bsz=9 on dp=8 made jax.device_put reject the chunk)."""
+        assert vid._chunk_size(9, 8) == 16
+        assert vid._chunk_size(2, 8) == 8
+        assert vid._chunk_size(8, 1) == 8
+        chunk = np.zeros((4, 8, 8, 3), np.uint8)
+        padded, pad = vid._pad_chunk(chunk, 16, 8, first=False)
+        assert padded.shape[0] == 16 and pad == 12
+        padded, pad = vid._pad_chunk(chunk, 16, 8, first=True)
+        assert padded.shape[0] == 8 and pad == 4  # lone chunk: next dp multiple
+
+    def test_batched_text_transfer_odd_frame_batch_on_mesh(self):
+        """End-to-end through the public path with frame_batch=9 on the
+        8-device mesh: two chunks, the second short — both must shard."""
+        from tbist_tpu.utils.config import TextEffectConfig
+
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path, n_frames=20, size=(32, 32))
+            req = EffectRequest(
+                text=TextEffectConfig(style_prompt="mosaic"),
+                video=VideoConfig(frame_batch=9),
+            )
+            out_path = vid.apply_video(
+                in_path, req, pipe.EffectInputs(),
+                out_path=os.path.join(d, "out.mp4"),
+            )
+            assert out_path and os.path.exists(out_path)
+            frames, _ = vid.read_frames(out_path)
+            assert len(frames) == 20
+
     def test_batched_text_transfer_path(self):
         from tbist_tpu.utils.config import TextEffectConfig
 
