@@ -105,8 +105,13 @@ def get_params() -> Tuple[Dict, list]:
         "Ghiasi/CLIP-MLP: no checkpoints — seeded init (set TBIST_GHIASI_PTH "
         "and TBIST_CLIP_MLP_PTH for the reference weights)"
     )
-    key = jax.random.key(0)
-    return (
-        ghiasi.init_params(jax.random.fold_in(key, 1)),
-        clip_mlp.init_params(jax.random.fold_in(key, 2)),
-    )
+    from tbist_tpu.weights.seed_cache import cached_seeded_init
+
+    def _seeded():
+        key = jax.random.key(0)
+        return (
+            ghiasi.init_params(jax.random.fold_in(key, 1)),
+            clip_mlp.init_params(jax.random.fold_in(key, 2)),
+        )
+
+    return cached_seeded_init("ghiasi_clip_mlp_seeded_s0", _seeded)

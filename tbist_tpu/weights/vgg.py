@@ -122,4 +122,8 @@ def get_params(seed: int = 0) -> vgg19.Params:
         "VGG-19: no checkpoint found — using deterministic seeded init "
         "(set TBIST_VGG19_PTH to a torchvision vgg19 .pth for real weights)"
     )
-    return vgg19.init_params(jax.random.key(seed))
+    from tbist_tpu.weights.seed_cache import cached_seeded_init
+
+    return cached_seeded_init(
+        f"vgg19_seeded_s{seed}", lambda: vgg19.init_params(jax.random.key(seed))
+    )

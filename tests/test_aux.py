@@ -350,6 +350,67 @@ class TestVerifyAllRunbook:
             vgg_weights.get_params.cache_clear()
 
 
+class TestSeedCache:
+    """weights/seed_cache.py — disk cache for seeded-init pytrees (the
+    load-from-disk startup shape the reference has via .pth files,
+    README.md:28-46)."""
+
+    @staticmethod
+    def _init():
+        key = jax.random.key(3)
+        return {
+            "a": jax.random.normal(key, (4, 5), jnp.float32),
+            "b": {"c": jnp.zeros((2,), jnp.float32)},
+        }
+
+    def test_miss_builds_then_hit_loads_from_disk(self, tmp_path, monkeypatch):
+        from tbist_tpu.weights import seed_cache
+
+        monkeypatch.setattr(seed_cache, "_CACHE_DIR", str(tmp_path))
+        first = seed_cache.cached_seeded_init("t1", self._init)
+        path = tmp_path / "t1.npz"
+        assert path.exists()
+        np.testing.assert_array_equal(
+            np.asarray(first["a"]), np.asarray(self._init()["a"])
+        )
+        # overwrite the stored leaves: a second call must return the
+        # DISK values (proof it loads rather than re-inits)
+        data = dict(np.load(path))
+        data["0"] = data["0"] + 7.0
+        np.savez(path, **data)
+        second = seed_cache.cached_seeded_init("t1", self._init)
+        np.testing.assert_array_equal(
+            np.asarray(second["a"]), np.asarray(first["a"]) + 7.0
+        )
+
+    def test_shape_drift_rebuilds(self, tmp_path, monkeypatch):
+        from tbist_tpu.weights import seed_cache
+
+        monkeypatch.setattr(seed_cache, "_CACHE_DIR", str(tmp_path))
+        path = tmp_path / "t2.npz"
+        np.savez(
+            path,
+            **{"0": np.zeros((9, 9), np.float32), "1": np.zeros((2,), np.float32)},
+        )
+        out = seed_cache.cached_seeded_init("t2", self._init)
+        np.testing.assert_array_equal(
+            np.asarray(out["a"]), np.asarray(self._init()["a"])
+        )
+        rebuilt = np.load(path)
+        assert rebuilt["0"].shape == (4, 5)
+
+    def test_env_kill_switch_skips_disk(self, tmp_path, monkeypatch):
+        from tbist_tpu.weights import seed_cache
+
+        monkeypatch.setattr(seed_cache, "_CACHE_DIR", str(tmp_path))
+        monkeypatch.setenv("TBIST_SEED_CACHE", "0")
+        out = seed_cache.cached_seeded_init("t3", self._init)
+        np.testing.assert_array_equal(
+            np.asarray(out["a"]), np.asarray(self._init()["a"])
+        )
+        assert not (tmp_path / "t3.npz").exists()
+
+
 class TestPallasPoolParity:
     def test_matches_auto_vjp_in_interpret_mode(self):
         """Pallas pool backward == XLA automatic VJP, incl. tie splitting."""
