@@ -117,9 +117,11 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     from tbist_tpu.utils.config import GatysConfig
 
     key = jax.random.key(0)
-    vgg_params = vgg19.init_params(key)
-    content = jax.random.uniform(jax.random.key(1), (1, 512, 512, 3), jnp.float32)
-    style = jax.random.uniform(jax.random.key(2), (1, 512, 512, 3), jnp.float32)
+    if not mask:  # a --mask run uses none of these; VGG init alone is
+        # dozens of RNG compiles through the remote compiler
+        vgg_params = vgg19.init_params(key)
+        content = jax.random.uniform(jax.random.key(1), (1, 512, 512, 3), jnp.float32)
+        style = jax.random.uniform(jax.random.key(2), (1, 512, 512, 3), jnp.float32)
 
     # 1. Gatys iters/sec at 512 / 1024 / 2048 px, with analytic MFU.
     # MFU basis: fwd+~2x-bwd conv FLOPs of the style trunk (through
@@ -226,6 +228,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
         dt = _timeit(dino_sam_chain, warmup=1, iters=3)
         results["mask_extraction_ms_seeded_dino_sam"] = dt * 1e3
         del dino_params, sam_params
+        dino_sam.clear_text_feature_cache()  # release pinned HBM
 
     # 4. batched throughput: video frames at 256px and images at 512px.
     # The step count is part of the metric NAME — a --quick (20-step) run
@@ -299,7 +302,9 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
                     ),
                     warmup=1, iters=1,
                 )
-                tag = f"mip{n_layers}_{size}px" if size != 256 else f"mip{n_layers}"
+                # size always in the key: 256px runs must keep updating the
+                # historical mip{n}_256px_* entries, not fork new names
+                tag = f"mip{n_layers}_{size}px"
                 results[f"{tag}_batched_s"] = dt_b
                 results[f"{tag}_sequential_s"] = dt_s
                 results[f"{tag}_speedup_x"] = dt_s / dt_b
@@ -378,6 +383,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
         dt = _timeit(text_chain, warmup=1, iters=3)
         results["e2e_text_chain_s"] = dt
         del dino_params, sam_params
+        dino_sam.clear_text_feature_cache()  # release pinned HBM
 
     if models:
         _model_metrics(results)

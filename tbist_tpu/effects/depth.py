@@ -151,9 +151,7 @@ def style_mip(
         dp = mesh.shape[mesh_lib.DP_AXIS]
         layers_b, pad = mesh_lib.pad_to_multiple(layers_b, dp)
         if pad:
-            w_style = jnp.concatenate(
-                [w_style, jnp.repeat(w_style[-1:], pad, 0)], 0
-            )
+            w_style, _ = mesh_lib.pad_to_multiple(w_style, dp)
         layers_b = jax.device_put(layers_b, mesh_lib.batch_sharding(mesh))
         vgg_params = jax.device_put(vgg_params, mesh_lib.replicated(mesh))
         style_b = jax.device_put(style_b, mesh_lib.replicated(mesh))

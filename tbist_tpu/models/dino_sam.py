@@ -76,7 +76,19 @@ def _dino_text_jit(params, cfg, input_ids, text_mask, bert_cfg=None):
 # per frame with the SAME prompt; the BERT prefix is image-independent
 # (dino.encode_text), so it computes once and the per-frame program skips
 # it. Bounded: repeated single-image prompts benefit too.
+#
+# Entries hold strong refs to their params pytree (id-recycling safety),
+# which PINS that tree's device buffers. In production there is exactly
+# one params object for the process lifetime (get_mask_extractor is
+# lru_cached), so that is free — but code that swaps params (benchmarks,
+# tests) must call clear_text_feature_cache() after dropping a tree or
+# its HBM stays allocated until the 64-entry clear.
 _TEXT_FEAT_CACHE: dict = {}
+
+
+def clear_text_feature_cache() -> None:
+    """Drop cached text features (releases pinned params device buffers)."""
+    _TEXT_FEAT_CACHE.clear()
 
 
 def _text_features(dino_params, prompt: str, vocab: dict, cfg=None, bert_cfg=None):

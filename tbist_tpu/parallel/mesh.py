@@ -82,7 +82,9 @@ def production_mesh(dp_only: bool = False) -> Optional[Mesh]:
     single-device path (debugging / A-B timing)."""
     import os
 
-    if os.environ.get("TBIST_DISABLE_MESH"):
+    # "1" enables the override — same convention as every other TBIST_*
+    # flag (a plain truthiness test would make =0 disable the mesh too)
+    if os.environ.get("TBIST_DISABLE_MESH") == "1":
         return None
     devices = jax.devices()
     if len(devices) < 2:
