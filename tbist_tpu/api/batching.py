@@ -1,0 +1,188 @@
+"""Cross-request micro-batching for the feed-forward text-style path.
+
+The reference is a single-user Gradio app: every request runs alone and
+torch-eager (app.py:116-740, text/FastTextTransfer.py:36-66). In
+production serving, the dominant cheap request — a feed-forward Ghiasi
+stylization driven only by a text style prompt — is embarrassingly
+batchable on a TPU: both sub-networks are batch-first, so N concurrent
+requests of the same image shape become ONE MXU-dense program instead of
+N sequential dispatches (each of which leaves the 128×128 systolic array
+mostly idle at batch 1).
+
+This module is the queueing layer: server threads ``submit()`` their
+(image, prompt) and block; a single daemon worker drains the queue into
+shape-grouped batches within a short window and answers up to
+``max_batch`` requests with one ``perform_transfer_batch`` call.
+Batching changes scheduling only — outputs equal the sequential path
+(tests/test_batching.py asserts it).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from tbist_tpu.utils.config import EffectRequest
+
+
+def eligible(req: EffectRequest) -> bool:
+    """True iff the request is exactly a feed-forward text stylization.
+
+    Conservative: any other stage (masks, pixel art, optimization
+    transfer, palette, depth, grayscale) routes to the general pipeline.
+    """
+    t = req.text
+    return (
+        t is not None
+        and bool(t.style_prompt)
+        and not t.location_prompt
+        and not t.texture_prompt
+        and not req.grayscale
+        and req.pixel_art is None
+        and not req.style_transfer
+        and not req.style_mixing
+        and not req.color_palette
+        and req.depth is None
+    )
+
+
+class _Item:
+    __slots__ = ("image", "prompt", "event", "result", "error", "batch_n")
+
+    def __init__(self, image: np.ndarray, prompt: str):
+        self.image = image  # (H, W, 3) float32 in [0, 1]
+        self.prompt = prompt
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+        self.batch_n = 0
+
+
+class FastTextBatcher:
+    """Coalesce concurrent fast-text requests into batched device calls.
+
+    Parameters
+    ----------
+    max_batch: largest batch per device program (padded to a power of
+        two inside ``perform_transfer_batch``, so the jit cache stays
+        small).
+    window_ms: how long the worker waits for companions after the first
+        request arrives. A few ms — less than one 512px forward — so a
+        lone request pays almost nothing and a burst coalesces.
+    """
+
+    def __init__(
+        self,
+        max_batch: int = 8,
+        window_ms: float = 4.0,
+        device_lock: Optional[threading.Lock] = None,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1e3
+        # serve passes its request lock so batched programs still
+        # serialize against non-batched pipeline work on the device
+        self._device_lock = device_lock
+        self._q: "queue.Queue[_Item]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._worker: Optional[threading.Thread] = None
+        # observability (read by tests and the serve layer)
+        self.batches_run = 0
+        self.requests_served = 0
+        self._batch_sizes: List[int] = []
+
+    # -- public -----------------------------------------------------------
+
+    def submit(self, image: np.ndarray, prompt: str) -> np.ndarray:
+        """Block until the batched result for this request is ready.
+
+        ``image`` is host (H, W, 3) float32 in [0, 1]; returns the
+        stylized (H, W, 3) float32 array.
+        """
+        return self.submit_item(image, prompt).result
+
+    def submit_item(self, image: np.ndarray, prompt: str) -> _Item:
+        """Like :meth:`submit` but returns the completed queue item,
+        exposing ``batch_n`` (how many requests shared the program)."""
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) image, got {image.shape}")
+        self._ensure_worker()
+        item = _Item(np.asarray(image, np.float32), prompt)
+        self._q.put(item)
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item
+
+    @property
+    def last_batch_sizes(self) -> List[int]:
+        return list(self._batch_sizes)
+
+    # -- worker -----------------------------------------------------------
+
+    def _ensure_worker(self) -> None:
+        with self._lock:
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(
+                    target=self._run, name="fast-text-batcher", daemon=True
+                )
+                self._worker.start()
+
+    def _drain(self) -> List[_Item]:
+        """One blocking get, then gather companions inside the window."""
+        first = self._q.get()
+        group = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(group) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                group.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return group
+
+    def _run(self) -> None:
+        while True:
+            group = self._drain()
+            # partition by exact image shape — only same-shape images
+            # share a program
+            by_shape: dict = {}
+            for it in group:
+                by_shape.setdefault(it.image.shape, []).append(it)
+            for items in by_shape.values():
+                self._run_batch(items)
+
+    def _run_batch(self, items: List[_Item]) -> None:
+        try:
+            import contextlib
+
+            import jax.numpy as jnp
+
+            from tbist_tpu.effects import text_transfer as tt
+
+            images = jnp.asarray(np.stack([it.image for it in items]))
+            guard = self._device_lock or contextlib.nullcontext()
+            with guard:
+                out = tt.perform_transfer_batch(
+                    images, [it.prompt for it in items]
+                )
+                out_np = np.asarray(out)
+            self.batches_run += 1
+            self.requests_served += len(items)
+            self._batch_sizes.append(len(items))
+            for i, it in enumerate(items):
+                it.result = out_np[i]
+                it.batch_n = len(items)
+        except BaseException as e:  # propagate to every waiter
+            for it in items:
+                it.error = e
+        finally:
+            for it in items:
+                it.event.set()

@@ -51,6 +51,65 @@ def _transfer_jit(g_params, m_params, image, text_embedding):
     return ghiasi.apply(g_params, image, style)
 
 
+def _pooled_embedding(text: str, text_encoder) -> jnp.ndarray:
+    """Prompt -> (1, 512) fp32 L2-normalized embedding
+    (FastTextTransfer.py:52-56 semantics: mean over batch, fp32, L2)."""
+    emb = text_encoder(text)
+    emb = jnp.mean(emb.astype(jnp.float32), axis=0, keepdims=True)
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def perform_transfer_batch(
+    images: jnp.ndarray,
+    texts: list,
+    g_params=None,
+    m_params=None,
+    text_encoder: Optional[Callable[[str], jnp.ndarray]] = None,
+    pad_to_bucket: bool = True,
+) -> jnp.ndarray:
+    """Batched ``perform_transfer``: N same-shape images, N prompts, ONE
+    device program.
+
+    The reference runs each request alone (torch eager,
+    FastTextTransfer.py:36-66); here both sub-networks are batch-first
+    ((B, H, W, 3) images × (B, 100) styles through the FiLM-conditioned
+    Ghiasi transformer), so N concurrent serving requests cost one
+    MXU-dense dispatch instead of N. Used by the cross-request
+    micro-batcher (``tbist_tpu.api.batching``).
+
+    ``pad_to_bucket`` pads the batch to the next power of two (repeating
+    the last row) so the jit cache holds at most log2(max_batch) programs
+    per image shape; the pad rows are sliced off before returning.
+    """
+    if images.ndim != 4 or images.shape[0] != len(texts):
+        raise ValueError(
+            f"images must be (N, H, W, 3) with N == len(texts); got "
+            f"{images.shape} vs {len(texts)} prompts"
+        )
+    if g_params is None or m_params is None:
+        g_params, m_params = default_params()
+    if text_encoder is None:
+        from tbist_tpu.models import clip_text
+
+        text_encoder = clip_text.get_default_encoder()
+    # One encode per unique prompt (repeated prompts are the common
+    # serving case: same style text over many images).
+    unique = {}
+    for t in texts:
+        if t not in unique:
+            unique[t] = _pooled_embedding(t, text_encoder)
+    emb = jnp.concatenate([unique[t] for t in texts], axis=0)  # (N, 512)
+
+    n = images.shape[0]
+    padded_n = n if not pad_to_bucket else max(1, 1 << (n - 1).bit_length())
+    if padded_n != n:
+        reps = padded_n - n
+        images = jnp.concatenate([images, jnp.repeat(images[-1:], reps, 0)], 0)
+        emb = jnp.concatenate([emb, jnp.repeat(emb[-1:], reps, 0)], 0)
+    out = _transfer_jit(g_params, m_params, images, emb)
+    return out[:n]
+
+
 def perform_transfer(
     image: jnp.ndarray,
     text: str,
@@ -69,7 +128,5 @@ def perform_transfer(
         from tbist_tpu.models import clip_text
 
         text_encoder = clip_text.get_default_encoder()
-    emb = text_encoder(text)
-    emb = jnp.mean(emb.astype(jnp.float32), axis=0, keepdims=True)
-    emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    emb = _pooled_embedding(text, text_encoder)
     return _transfer_jit(g_params, m_params, image, emb)

@@ -21,8 +21,10 @@ fallback (seeded VGG, heuristic mask extractor, ...) so callers know when
 an output did not come from real pretrained weights.
 
 Requests are processed sequentially (one TPU program at a time — device
-state is functional so this is a throughput choice, not a safety one).
-Run: ``python -m tbist_tpu.serve --port 8000``.
+state is functional so this is a throughput choice, not a safety one),
+EXCEPT that concurrent fast-text-only requests coalesce into one batched
+TPU program when ``--batch-max`` > 0 (default 8; see
+``tbist_tpu.api.batching``). Run: ``python -m tbist_tpu.serve --port 8000``.
 """
 
 from __future__ import annotations
@@ -114,6 +116,13 @@ class _Handler(BaseHTTPRequestHandler):
         from tbist_tpu.utils.request_schema import request_from_dict
 
         req = request_from_dict(data.get("request", {}))
+        batcher = getattr(self.server, "batcher", None)
+        if batcher is not None and data.get("image"):
+            from tbist_tpu.api import batching
+
+            if batching.eligible(req):
+                self._handle_image_batched(batcher, data, req)
+                return
         metrics = RunMetrics()
         with self._lock:  # one device program at a time
             out = api.apply_image(
@@ -129,6 +138,29 @@ class _Handler(BaseHTTPRequestHandler):
                 "image": _encode_image(out),
                 "timings_s": metrics.timings_s,
                 "degraded": metrics.degraded,
+            },
+        )
+
+    def _handle_image_batched(self, batcher, data: dict, req) -> None:
+        """Fast-text-only requests coalesce across concurrent clients
+        into one batched TPU program (api/batching.py); the reference
+        runs every request alone (app.py:116-740)."""
+        import time as _time
+
+        from tbist_tpu.utils import degraded as _degraded
+        from tbist_tpu.utils.imageio import to_float, to_pil
+
+        pil = _decode_image(data.get("image"))
+        t0 = _time.perf_counter()
+        item = batcher.submit_item(to_float(pil), req.text.style_prompt)
+        dt = _time.perf_counter() - t0
+        self._reply(
+            200,
+            {
+                "image": _encode_image(to_pil(item.result)),
+                "timings_s": {"text_transfer": dt},
+                "degraded": _degraded.flags_for(["text_transfer"]),
+                "batch": item.batch_n,
             },
         )
 
@@ -174,8 +206,26 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
 
-def make_server(port: int = 8000, host: str = "127.0.0.1") -> ThreadingHTTPServer:
-    return ThreadingHTTPServer((host, port), _Handler)
+def make_server(
+    port: int = 8000,
+    host: str = "127.0.0.1",
+    batch_max: int = 0,
+    batch_window_ms: float = 4.0,
+) -> ThreadingHTTPServer:
+    """``batch_max > 0`` enables cross-request micro-batching of
+    fast-text requests (api/batching.py); 0 keeps every request on the
+    sequential pipeline path."""
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.batcher = None
+    if batch_max > 0:
+        from tbist_tpu.api.batching import FastTextBatcher
+
+        server.batcher = FastTextBatcher(
+            max_batch=batch_max,
+            window_ms=batch_window_ms,
+            device_lock=_Handler._lock,
+        )
+    return server
 
 
 def main():
@@ -184,9 +234,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument(
+        "--batch-max", type=int, default=8,
+        help="coalesce up to N concurrent fast-text requests into one "
+        "TPU program (0 disables batching)",
+    )
+    ap.add_argument("--batch-window-ms", type=float, default=4.0)
     args = ap.parse_args()
-    server = make_server(args.port, args.host)
-    logger.info("serving on %s:%d", args.host, args.port)
+    server = make_server(
+        args.port, args.host,
+        batch_max=args.batch_max, batch_window_ms=args.batch_window_ms,
+    )
+    logger.info(
+        "serving on %s:%d (fast-text batching %s)",
+        args.host, args.port,
+        f"max={args.batch_max}" if args.batch_max else "off",
+    )
     server.serve_forever()
 
 
