@@ -3,7 +3,8 @@
 Measures on the current JAX backend (TPU under axon; CPU elsewhere):
   1. Gatys LBFGS iterations/sec at 512 / 1024 / 2048 px (headline is the
      512px number, also in bench.py) with an analytic MFU column
-  2. FastTextTransfer feed-forward 512px latency (Ghiasi + CLIP-MLP)
+  2. FastTextTransfer feed-forward 512px latency (Ghiasi + CLIP-MLP),
+     plus the batch-8 cross-request micro-batching speedup (api/batching.py)
   3. Mask-extraction latency — the metric NAME says which extractor
      resolved (``mask_extraction_ms_fallback`` vs ``_dino_sam``), and the
      real seeded DINO+SAM chain is ALWAYS benched as its own metric
@@ -179,6 +180,35 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
             warmup=1, iters=3 if quick else 10,
         )
         results["fast_text_transfer_512px_ms"] = dt * 1e3
+
+    # 2b. cross-request micro-batching win (api/batching.py): 8 concurrent
+    # fast-text requests as ONE batch-8 program vs 8 sequential batch-1
+    # dispatches. Both sides fetch scalars only (device→host over the axon
+    # tunnel is ~31 MB/s; a batch-8 512px image fetch would dominate).
+    if not mask:
+        bsz = 8
+        content8 = jnp.concatenate([content] * bsz, axis=0)
+        emb8 = jnp.concatenate([emb] * bsz, axis=0)
+        it = 3 if quick else 10
+
+        dt_b = _timeit(
+            lambda: text_transfer._transfer_jit(
+                g_params, m_params, content8, emb8
+            )[:, 0, 0, 0],
+            warmup=1, iters=it,
+        )
+        dt_s = _timeit(
+            lambda: jnp.stack([
+                text_transfer._transfer_jit(g_params, m_params, content, emb)[
+                    0, 0, 0, 0
+                ]
+                for _ in range(bsz)
+            ]),
+            warmup=1, iters=it,
+        )
+        results["fast_text_batch8_512px_ms"] = dt_b * 1e3
+        results["fast_text_batch8_per_request_ms"] = dt_b * 1e3 / bsz
+        results["fast_text_batch8_speedup_x"] = dt_s / dt_b
 
     # 3a. mask extraction latency — metric name states WHICH extractor
     # resolved, so a reader can never mistake the heuristic fallback for

@@ -66,6 +66,7 @@ def perform_transfer_batch(
     m_params=None,
     text_encoder: Optional[Callable[[str], jnp.ndarray]] = None,
     pad_to_bucket: bool = True,
+    use_mesh: bool = True,
 ) -> jnp.ndarray:
     """Batched ``perform_transfer``: N same-shape images, N prompts, ONE
     device program.
@@ -80,6 +81,11 @@ def perform_transfer_batch(
     ``pad_to_bucket`` pads the batch to the next power of two (repeating
     the last row) so the jit cache holds at most log2(max_batch) programs
     per image shape; the pad rows are sliced off before returning.
+
+    With >1 visible device and ``use_mesh``, the batch shards over the
+    production dp-only mesh (weights replicated) — same layout as the
+    video path; dp introduces no cross-device reductions, so outputs
+    match the unsharded program (tests/test_batching.py asserts it).
     """
     if images.ndim != 4 or images.shape[0] != len(texts):
         raise ValueError(
@@ -100,12 +106,29 @@ def perform_transfer_batch(
             unique[t] = _pooled_embedding(t, text_encoder)
     emb = jnp.concatenate([unique[t] for t in texts], axis=0)  # (N, 512)
 
+    mesh = None
+    if use_mesh:
+        from tbist_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.production_mesh(dp_only=True)
+
     n = images.shape[0]
     padded_n = n if not pad_to_bucket else max(1, 1 << (n - 1).bit_length())
+    if mesh is not None:
+        # sharded program shapes must tile evenly over dp
+        dp = mesh.shape[mesh_lib.DP_AXIS]
+        padded_n = -(-padded_n // dp) * dp
     if padded_n != n:
         reps = padded_n - n
         images = jnp.concatenate([images, jnp.repeat(images[-1:], reps, 0)], 0)
         emb = jnp.concatenate([emb, jnp.repeat(emb[-1:], reps, 0)], 0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        images = jax.device_put(images, mesh_lib.batch_sharding(mesh))
+        emb = jax.device_put(emb, NamedSharding(mesh, P(mesh_lib.DP_AXIS, None)))
+        g_params = jax.device_put(g_params, mesh_lib.replicated(mesh))
+        m_params = jax.device_put(m_params, mesh_lib.replicated(mesh))
     out = _transfer_jit(g_params, m_params, images, emb)
     return out[:n]
 

@@ -51,6 +51,33 @@ class TestPerformTransferBatch:
         with pytest.raises(ValueError):
             tt.perform_transfer_batch(jnp.zeros((2, 8, 8, 3)), ["one"])
 
+    def test_batch_shards_over_production_mesh(self, monkeypatch):
+        """On >1 device the batch shards over the production dp mesh
+        (conftest provides 8 virtual CPU devices), padded to a dp
+        multiple, and outputs match the mesh-disabled run."""
+        captured = {}
+        real = tt._transfer_jit
+
+        def spy(g, m, images, emb):
+            captured["sharding"] = images.sharding
+            captured["n_shards"] = len(images.addressable_shards)
+            captured["batch"] = images.shape[0]
+            return real(g, m, images, emb)
+
+        monkeypatch.setattr(tt, "_transfer_jit", spy)
+        imgs = jnp.asarray(_rand_images(3, seed=8))
+        prompts = ["x", "y", "z"]
+        sharded = np.asarray(tt.perform_transfer_batch(imgs, prompts))
+        assert captured["n_shards"] == 8
+        assert not captured["sharding"].is_fully_replicated
+        assert captured["batch"] == 8  # 3 -> 4 (pow2 bucket) -> 8 (dp mult)
+        assert sharded.shape == (3, 24, 24, 3)
+
+        monkeypatch.setenv("TBIST_DISABLE_MESH", "1")
+        unsharded = np.asarray(tt.perform_transfer_batch(imgs, prompts))
+        assert captured["n_shards"] == 1
+        np.testing.assert_allclose(sharded, unsharded, atol=1e-5)
+
 
 class TestEligibility:
     def test_fast_text_only_is_eligible(self):
