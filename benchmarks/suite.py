@@ -255,8 +255,21 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
                 )
             )
 
+        # warm prompt cache: the warmup populates _TEXT_FEAT_CACHE, so the
+        # timed iterations skip the BERT text encode — this is the video /
+        # repeated-prompt steady state (one prompt, many frames), the
+        # chain's dominant production shape.
         dt = _timeit(dino_sam_chain, warmup=1, iters=3)
         results["mask_extraction_ms_seeded_dino_sam"] = dt * 1e3
+
+        # cold prompt: a fresh prompt pays the BERT-base text forward too
+        # (what a first serve request for a new location prompt sees)
+        def dino_sam_chain_cold():
+            dino_sam.clear_text_feature_cache()
+            return dino_sam_chain()
+
+        dt = _timeit(dino_sam_chain_cold, warmup=1, iters=3)
+        results["mask_extraction_ms_seeded_dino_sam_cold_prompt"] = dt * 1e3
         del dino_params, sam_params
         dino_sam.clear_text_feature_cache()  # release pinned HBM
 

@@ -116,7 +116,12 @@ class FastTextBatcher:
         self._q.put(item)
         item.event.wait()
         if item.error is not None:
-            raise item.error
+            # one exception object is shared by every waiter of a failed
+            # batch; raise a shallow copy so concurrent raises don't race
+            # on the shared instance's __traceback__
+            import copy
+
+            raise copy.copy(item.error) from item.error
         return item
 
     @property

@@ -119,9 +119,11 @@ def perform_transfer_batch(
         dp = mesh.shape[mesh_lib.DP_AXIS]
         padded_n = -(-padded_n // dp) * dp
     if padded_n != n:
-        reps = padded_n - n
-        images = jnp.concatenate([images, jnp.repeat(images[-1:], reps, 0)], 0)
-        emb = jnp.concatenate([emb, jnp.repeat(emb[-1:], reps, 0)], 0)
+        from tbist_tpu.parallel.mesh import pad_to_multiple
+
+        # n <= padded_n, so "next multiple of padded_n" is padded_n itself
+        images, _ = pad_to_multiple(images, padded_n)
+        emb, _ = pad_to_multiple(emb, padded_n)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -383,14 +383,30 @@ def _detect_dispatch(
     return ids, out
 
 
+_INV_VOCAB_CACHE: list = []  # [(vocab, inverse)] — identity-keyed, tiny
+
+
+def _inv_vocab(vocab: dict) -> dict:
+    """Inverse id→token map, cached per vocab object (inverting the
+    30k-entry BERT vocab per detect() call is host work inside the
+    DINO-fetch window the chain overlap works to hide)."""
+    for v, inv in _INV_VOCAB_CACHE:
+        if v is vocab:
+            return inv
+    inv = {i: tok for tok, i in vocab.items()}
+    if len(_INV_VOCAB_CACHE) >= 4:
+        _INV_VOCAB_CACHE.clear()
+    _INV_VOCAB_CACHE.append((vocab, inv))
+    return inv
+
+
 def _detect_collect(ids, out, vocab) -> Tuple[np.ndarray, List[str]]:
     """Block on the DINO outputs, threshold, and decode phrases."""
     logits = np.asarray(jax.nn.sigmoid(out["pred_logits"]))[0]  # (900, T)
     boxes = np.asarray(out["pred_boxes"])[0]  # (900, 4)
     keep = logits.max(axis=1) > BOX_THRESHOLD
     logits, boxes = logits[keep], boxes[keep]
-    inv_vocab = {v: k for k, v in vocab.items()}
-    keep2, phrases = filter_phrases(logits, ids, inv_vocab)
+    keep2, phrases = filter_phrases(logits, ids, _inv_vocab(vocab))
     return boxes[keep2], phrases
 
 

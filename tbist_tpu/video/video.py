@@ -119,7 +119,7 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
     prompt embeds once, then one jitted forward per frame batch (the
     reference re-runs CLIP + Ghiasi per frame through the full image
     pipeline, app.py:794). With >1 device the batch shards over the
-    production (dp, sp) mesh and weights replicate."""
+    production dp-only mesh and weights replicate."""
     from tbist_tpu.effects import text_transfer as tt
     from tbist_tpu.models import clip_mlp, ghiasi
     from tbist_tpu.parallel import mesh as mesh_lib
@@ -244,10 +244,11 @@ def _batched_style(
     """dp-batched Gatys stylization of video frames (parallel.batched).
 
     On >1 device the PRODUCTION path shards here: frames over the mesh's
-    dp axis, image width over sp, VGG weights and the style image
-    replicated — replacing the reference's sequential one-device frame
-    loop (app.py:784-815). Short chunks pad (repeat last frame) to a
-    dp multiple so the compiled program tiles evenly."""
+    dp axis (dp-ONLY — every device on dp, sp fixed at 1; see
+    production_mesh for why sp drifts the L-BFGS trajectory), VGG weights
+    and the style image replicated — replacing the reference's sequential
+    one-device frame loop (app.py:784-815). Short chunks pad (repeat last
+    frame) to a dp multiple so the compiled program tiles evenly."""
     from tbist_tpu.parallel import batched, mesh as mesh_lib
     from tbist_tpu.weights import vgg as vgg_weights
 
@@ -268,10 +269,7 @@ def _batched_style(
     if mesh is not None:
         vgg_params = jax.device_put(vgg_params, mesh_lib.replicated(mesh))
         style = jax.device_put(style, mesh_lib.replicated(mesh))
-        logger.info(
-            "video: sharding frames over mesh dp=%d sp=%d",
-            dp, mesh.shape[mesh_lib.SP_AXIS],
-        )
+        logger.info("video: sharding frames over mesh dp=%d (dp-only)", dp)
 
     bsz = _chunk_size(req.video.frame_batch, dp)
     outs = []
