@@ -36,7 +36,39 @@ def _baseline_ips() -> float:
     return float(result["iters_per_sec"])
 
 
+def _watchdog(seconds: float):
+    """Emit an error JSON line and exit if no result lands in time.
+
+    The axon TPU tunnel can hang indefinitely (even jax.devices() blocks
+    when it is down); a hung bench run records nothing at all, so fail
+    loudly with the one-line contract instead. 1800 s is ~6x a normal
+    cold run (compile ~110 s + 400-iter run + CPU-baseline cache read)."""
+    import threading
+
+    def boom():
+        print(
+            json.dumps(
+                {
+                    "metric": "gatys_512px_iters_per_sec",
+                    "value": None,
+                    "unit": "iters/s",
+                    "vs_baseline": None,
+                    "error": f"no TPU result within {seconds:.0f}s "
+                    "(axon tunnel unresponsive?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
+    watchdog = _watchdog(1800.0)
     import jax
     import jax.numpy as jnp
 
@@ -78,6 +110,7 @@ def main() -> None:
     except Exception:
         vs = None
 
+    watchdog.cancel()
     print(
         json.dumps(
             {
