@@ -4,7 +4,8 @@ The reference serves through Gradio only (app.py:1250-1252). For
 production-style deployment this module exposes the same capabilities as a
 minimal JSON API with zero extra dependencies:
 
-  GET  /healthz            -> {"status": "ok", "backend": ..., "devices": N}
+  GET  /healthz            -> {"status": "ok", "backend": ..., "devices": N,
+                              "batching": {counters}} (when batching is on)
   POST /v1/image           -> body {"image": b64, "request": {...},
                               "style_image": b64?, "style_image1": b64?,
                               "style_image2": b64?, "color_palette_image": b64?}
@@ -72,14 +73,19 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/healthz":
             import jax
 
-            self._reply(
-                200,
-                {
-                    "status": "ok",
-                    "backend": jax.default_backend(),
-                    "devices": len(jax.devices()),
-                },
-            )
+            reply = {
+                "status": "ok",
+                "backend": jax.default_backend(),
+                "devices": len(jax.devices()),
+            }
+            batcher = getattr(self.server, "batcher", None)
+            if batcher is not None:
+                reply["batching"] = {
+                    "max_batch": batcher.max_batch,
+                    "batches_run": batcher.batches_run,
+                    "requests_served": batcher.requests_served,
+                }
+            self._reply(200, reply)
         else:
             self._reply(404, {"error": "unknown path"})
 

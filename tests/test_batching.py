@@ -241,6 +241,15 @@ class TestServeBatching:
         # both replies carry identical pixels (same image, same prompt)
         assert replies[0][1]["image"] == replies[1][1]["image"]
 
+    def test_healthz_reports_batcher_stats(self, server_url):
+        url, srv = server_url
+        with urllib.request.urlopen(url + "/healthz") as r:
+            data = json.loads(r.read())
+        b = data["batching"]
+        assert b["max_batch"] == 4
+        assert b["requests_served"] == srv.batcher.requests_served
+        assert b["batches_run"] == srv.batcher.batches_run
+
     def test_ineligible_request_uses_pipeline(self, server_url):
         url, srv = server_url
         served_before = srv.batcher.requests_served
