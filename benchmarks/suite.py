@@ -19,7 +19,7 @@ seeded weights (SAM, GroundingDINO, Depth-Anything, T5, Ghiasi) —
 reproducing the numbers in PARITY.md.
 
 Writes benchmarks/results.json and prints one JSON line per metric.
-Run: python benchmarks/suite.py [--quick] [--models]
+Run: python benchmarks/suite.py [--quick] [--models] [--mask] [--text]
 """
 
 from __future__ import annotations
@@ -96,17 +96,24 @@ def _model_metrics(results):
     results["t5_base_decode16_ms"] = dt * 1e3
 
 
-def main(quick: bool = False, models: bool = False, mask: bool = False):
+def main(
+    quick: bool = False, models: bool = False, mask: bool = False,
+    text: bool = False,
+):
     """Measure and merge; partial results persist even if a section dies."""
     results = {}
     try:
-        _measure(results, quick, models, mask)
+        _measure(results, quick, models, mask, text)
     finally:
         _write(results)
 
 
-def _measure(results, quick: bool = False, models: bool = False, mask: bool = False):
+def _measure(
+    results, quick: bool = False, models: bool = False, mask: bool = False,
+    text: bool = False,
+):
     # mask=True: re-measure ONLY the DINO+SAM chain sections (3b + 8)
+    # text=True: re-measure ONLY the fast-text sections (1b load, 2, 2b)
     import jax
     import jax.numpy as jnp
 
@@ -118,10 +125,11 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     from tbist_tpu.utils.config import GatysConfig
 
     key = jax.random.key(0)
-    if not mask:  # a --mask run uses none of these; VGG init alone is
-        # dozens of RNG compiles through the remote compiler
-        vgg_params = vgg19.init_params(key)
+    if not mask:
         content = jax.random.uniform(jax.random.key(1), (1, 512, 512, 3), jnp.float32)
+    if not mask and not text:  # section-scoped runs use none of these; VGG
+        # init alone is dozens of RNG compiles through the remote compiler
+        vgg_params = vgg19.init_params(key)
         style = jax.random.uniform(jax.random.key(2), (1, 512, 512, 3), jnp.float32)
 
     # 1. Gatys iters/sec at 512 / 1024 / 2048 px, with analytic MFU.
@@ -133,7 +141,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     steps = 100 if quick else 400
     on_tpu = jax.default_backend() not in ("cpu",)
     sizes = [512] if quick or not on_tpu else [512, 1024, 2048]
-    if mask:
+    if mask or text:
         sizes = []
     for size in sizes:
         import dataclasses
@@ -215,7 +223,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     # the DINO+SAM chain (VERDICT r1 weak #2)
     from tbist_tpu.effects import masking
 
-    if not mask:
+    if not mask and not text:
         extractor = masking.default_mask_extractor()
         resolved = (
             "fallback" if extractor is masking._fallback_location_mask else "dino_sam"
@@ -227,7 +235,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     # tokenize -> resize/normalize -> GroundingDINO forward -> thresholds
     # -> SAM encoder+decoder on one box (compute identical to the
     # weights-loaded path; only the numbers in the weights differ)
-    if not quick or mask:
+    if (not quick or mask) and not text:
         from tbist_tpu.models import dino as dino_lib
         from tbist_tpu.models import dino_sam, sam as sam_lib
 
@@ -277,26 +285,27 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     # The step count is part of the metric NAME — a --quick (20-step) run
     # must not overwrite the full 100-step number under the same key (the
     # r2 12.77 f/s entry was exactly that collision; PROFILE.md round-3b).
-    frames = jax.random.uniform(jax.random.key(3), (8, 256, 256, 3), jnp.float32)
     vsteps = 20 if quick else 100
     vcfg = GatysConfig(num_steps=vsteps)
-
-    def video_run():
-        return batched.run(vcfg, vgg_params, frames, (style,))
-
-    if not mask:
-        dt = _timeit(video_run, warmup=1, iters=1)
+    if not mask and not text:
+        frames = jax.random.uniform(
+            jax.random.key(3), (8, 256, 256, 3), jnp.float32
+        )
+        dt = _timeit(
+            lambda: batched.run(vcfg, vgg_params, frames, (style,)),
+            warmup=1, iters=1,
+        )
         results[f"video_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
 
     # 4b. SURVEY §6 row "Video + StyleMixer batched throughput": the same
     # batched frame loop with TWO styles (gram-space mixing, w=0.5)
-    if not mask:
+    if not mask and not text:
         style2 = jax.random.uniform(jax.random.key(6), (1, 512, 512, 3), jnp.float32)
         dt = _timeit(lambda: batched.run(vcfg, vgg_params, frames, (style, style2)),
                      warmup=1, iters=1)
         results[f"video_mixing_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
 
-    if not quick and not mask:
+    if not quick and not mask and not text:
         big = jax.random.uniform(jax.random.key(5), (8, 512, 512, 3), jnp.float32)
         bcfg = GatysConfig(num_steps=100)
         dt = _timeit(lambda: batched.run(bcfg, vgg_params, big, (style,)),
@@ -305,7 +314,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
         results["batch8_512px_iters_per_sec_per_frame"] = bcfg.num_steps / dt
 
     # 5. emoji merge latency (512px mask, 172px stencil)
-    if not mask:
+    if not mask and not text:
         seg = jnp.zeros((512, 512), bool).at[128:384, 128:384].set(True)
         emoji = jax.random.uniform(jax.random.key(4), (172, 172)) > 0.5
         dt = _timeit(
@@ -318,7 +327,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     # at the REAL operating points (r2 VERDICT #6): n=2 is the UI default
     # (reference app.py:976 value=2) and real images are 512px; the 256px
     # n=4 point is kept for cross-round comparability.
-    if not quick and not mask:
+    if not quick and not mask and not text:
         from tbist_tpu.effects import depth as depth_fx
 
         est = depth_fx._fallback_depth
@@ -355,7 +364,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     # 7. the north-star metric, RECORDED not derived (r2 VERDICT #5):
     # 200-iter CLIPstyler-style run at 512px, end-to-end — host upload,
     # optimization, uint8 result fetch. Cold includes compilation.
-    if not quick and not mask:
+    if not quick and not mask and not text:
         from tbist_tpu.utils.imageio import to_uint8
 
         cfg200 = GatysConfig(num_steps=200)
@@ -379,7 +388,7 @@ def _measure(results, quick: bool = False, models: bool = False, mask: bool = Fa
     # 8. end-to-end text chain (r2 VERDICT #5): prompt -> seeded DINO+SAM
     # location mask -> Ghiasi text transfer -> emoji-stencil composite —
     # SURVEY §3.2's richest path as one user-visible latency.
-    if not quick or mask:
+    if (not quick or mask) and not text:
         from tbist_tpu.effects import masking as masking_fx
         from tbist_tpu.models import dino as dino_lib
         from tbist_tpu.models import dino_sam, sam as sam_lib
@@ -453,5 +462,8 @@ if __name__ == "__main__":
     ap.add_argument("--models", action="store_true")
     ap.add_argument("--mask", action="store_true",
                     help="re-measure only the DINO+SAM chain metrics")
+    ap.add_argument("--text", action="store_true",
+                    help="re-measure only the fast-text metrics "
+                    "(model load, latency, batch-8 speedup)")
     args = ap.parse_args()
-    main(args.quick, args.models, args.mask)
+    main(args.quick, args.models, args.mask, args.text)
