@@ -218,6 +218,47 @@ def _measure(
         results["fast_text_batch8_per_request_ms"] = dt_b * 1e3 / bsz
         results["fast_text_batch8_speedup_x"] = dt_s / dt_b
 
+    # 2c. end-to-end fast-text VIDEO throughput through the PUBLIC
+    # apply_video path: decode -> per-chunk uint8 upload -> batched
+    # Ghiasi -> device-quantized uint8 fetch (1-deep pipelined) ->
+    # encode. Unlike 4/4b (batched.run device time), this includes the
+    # host link — the axon fetch is the bottleneck this path optimizes.
+    if not mask:
+        import os
+        import tempfile
+
+        import cv2
+
+        from tbist_tpu.compose import pipeline as pipe_lib
+        from tbist_tpu.utils.config import (
+            EffectRequest, TextEffectConfig, VideoConfig,
+        )
+        from tbist_tpu.video import video as vid_lib
+
+        nframes = 24
+        with tempfile.TemporaryDirectory() as tmp:
+            in_path = os.path.join(tmp, "in.mp4")
+            wr = cv2.VideoWriter(
+                in_path, cv2.VideoWriter_fourcc(*"mp4v"), 8.0, (256, 256)
+            )
+            rng = np.random.default_rng(0)
+            for _ in range(nframes):
+                wr.write(rng.integers(0, 255, (256, 256, 3), np.uint8))
+            wr.release()
+            vreq = EffectRequest(
+                text=TextEffectConfig(style_prompt="starry night"),
+                video=VideoConfig(frame_batch=8),
+            )
+
+            def video_e2e():
+                return vid_lib.apply_video(
+                    in_path, vreq, pipe_lib.EffectInputs(),
+                    out_path=os.path.join(tmp, "out.mp4"),
+                )
+
+            dt = _timeit(video_e2e, warmup=1, iters=1 if quick else 2)
+            results["video_e2e_fast_text_256px_fps"] = nframes / dt
+
     # 3a. mask extraction latency — metric name states WHICH extractor
     # resolved, so a reader can never mistake the heuristic fallback for
     # the DINO+SAM chain (VERDICT r1 weak #2)

@@ -54,7 +54,7 @@ class _Item:
     __slots__ = ("image", "prompt", "event", "result", "error", "batch_n")
 
     def __init__(self, image: np.ndarray, prompt: str):
-        self.image = image  # (H, W, 3) float32 in [0, 1]
+        self.image = image  # (H, W, 3) float32 in [0, 1] or uint8
         self.prompt = prompt
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
@@ -73,6 +73,11 @@ class FastTextBatcher:
     window_ms: how long the worker waits for companions after the first
         request arrives. A few ms — less than one 512px forward — so a
         lone request pays almost nothing and a burst coalesces.
+    quantize_uint8: return uint8 results quantized ON DEVICE
+        (clip(round(x*255)), to_uint8 semantics). The serve layer re-encodes
+        to PNG anyway, and fetching uint8 moves 4x fewer bytes through the
+        ~31 MB/s axon host link than f32 — with quantization the fetch no
+        longer dominates the 21 ms fast-text forward.
     """
 
     def __init__(
@@ -80,11 +85,13 @@ class FastTextBatcher:
         max_batch: int = 8,
         window_ms: float = 4.0,
         device_lock: Optional[threading.Lock] = None,
+        quantize_uint8: bool = False,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1e3
+        self.quantize_uint8 = bool(quantize_uint8)
         # serve passes its request lock so batched programs still
         # serialize against non-batched pipeline work on the device
         self._device_lock = device_lock
@@ -101,18 +108,23 @@ class FastTextBatcher:
     def submit(self, image: np.ndarray, prompt: str) -> np.ndarray:
         """Block until the batched result for this request is ready.
 
-        ``image`` is host (H, W, 3) float32 in [0, 1]; returns the
-        stylized (H, W, 3) float32 array.
+        ``image`` is host (H, W, 3) float32 in [0, 1], or uint8 (kept
+        uint8 through the upload — 4x fewer bytes, cast on device);
+        returns the stylized (H, W, 3) float32 array (uint8 when
+        ``quantize_uint8``).
         """
         return self.submit_item(image, prompt).result
 
     def submit_item(self, image: np.ndarray, prompt: str) -> _Item:
         """Like :meth:`submit` but returns the completed queue item,
         exposing ``batch_n`` (how many requests shared the program)."""
+        image = np.asarray(image)
         if image.ndim != 3 or image.shape[-1] != 3:
             raise ValueError(f"expected (H, W, 3) image, got {image.shape}")
+        if image.dtype != np.uint8:
+            image = image.astype(np.float32)
         self._ensure_worker()
-        item = _Item(np.asarray(image, np.float32), prompt)
+        item = _Item(image, prompt)
         self._q.put(item)
         item.event.wait()
         if item.error is not None:
@@ -156,11 +168,14 @@ class FastTextBatcher:
     def _run(self) -> None:
         while True:
             group = self._drain()
-            # partition by exact image shape — only same-shape images
-            # share a program
+            # partition by exact image shape AND dtype — only those share
+            # a program (np.stack over mixed f32/uint8 would promote the
+            # 0-255 uint8 rows to float alongside 0-1 rows)
             by_shape: dict = {}
             for it in group:
-                by_shape.setdefault(it.image.shape, []).append(it)
+                by_shape.setdefault(
+                    (it.image.shape, it.image.dtype.str), []
+                ).append(it)
             for items in by_shape.values():
                 self._run_batch(items)
 
@@ -173,15 +188,23 @@ class FastTextBatcher:
             from tbist_tpu.effects import text_transfer as tt
 
             images = jnp.asarray(np.stack([it.image for it in items]))
+            if images.dtype == jnp.uint8:  # upload was 4x lighter; cast
+                images = images.astype(jnp.float32) / 255.0  # on device
             guard = self._device_lock or contextlib.nullcontext()
             with guard:
                 out = tt.perform_transfer_batch(
                     images, [it.prompt for it in items]
                 )
+                if self.quantize_uint8:  # quantize on device, fetch uint8
+                    out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(
+                        jnp.uint8
+                    )
                 out_np = np.asarray(out)
             self.batches_run += 1
             self.requests_served += len(items)
             self._batch_sizes.append(len(items))
+            if len(self._batch_sizes) > 1024:  # bounded history on a
+                del self._batch_sizes[:-256]  # long-lived server
             for i, it in enumerate(items):
                 it.result = out_np[i]
                 it.batch_n = len(items)

@@ -39,10 +39,14 @@ def to_float(image: Union[Image.Image, np.ndarray]) -> np.ndarray:
 
 
 def to_uint8(arr: ArrayLike) -> np.ndarray:
-    """float [0,1] -> uint8, clipping. Accepts HWC or NHWC (squeezes N=1)."""
+    """float [0,1] -> uint8, clipping. Accepts HWC or NHWC (squeezes N=1).
+    Idempotent: uint8 input (e.g. already quantized on device) passes
+    through unscaled."""
     arr = np.asarray(arr)
     if arr.ndim == 4 and arr.shape[0] == 1:
         arr = arr[0]
+    if arr.dtype == np.uint8:
+        return arr
     return np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
 
 

@@ -185,6 +185,50 @@ class TestBatcher:
         with pytest.raises(ValueError):
             b.submit(np.zeros((8, 8), np.float32), "x")
 
+    def test_uint8_submit_matches_float(self):
+        """uint8 images upload as-is (4x fewer bytes) and cast on device;
+        the result equals submitting the same pixels as f32 [0, 1]."""
+        b = batching.FastTextBatcher(max_batch=1)
+        u8 = (_rand_images(1, seed=7)[0] * 255).astype(np.uint8)
+        out_u8 = b.submit(u8, "fire")
+        out_f = b.submit(u8.astype(np.float32) / 255.0, "fire")
+        np.testing.assert_allclose(out_u8, out_f, atol=1e-6)
+
+    def test_mixed_dtypes_split_into_groups(self):
+        """A uint8 and a f32 request of the same shape must NOT share a
+        np.stack (promotion would mis-scale the uint8 rows)."""
+        b = batching.FastTextBatcher(max_batch=4, window_ms=400.0)
+        img = _rand_images(1, seed=9)[0]
+        out = {}
+
+        def worker(key, arr):
+            out[key] = b.submit(arr, "water")
+
+        threads = [
+            threading.Thread(target=worker, args=("f", img)),
+            threading.Thread(
+                target=worker, args=("u", (img * 255).astype(np.uint8))
+            ),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert b.batches_run == 2  # one program per dtype group
+        np.testing.assert_allclose(out["f"], out["u"], atol=1e-2)
+
+    def test_quantize_uint8_result(self):
+        """quantize_uint8 fetches device-quantized uint8 equal to host
+        to_uint8 of the float result."""
+        from tbist_tpu.utils.imageio import to_uint8
+
+        img = _rand_images(1, seed=10)[0]
+        bq = batching.FastTextBatcher(max_batch=1, quantize_uint8=True)
+        bf = batching.FastTextBatcher(max_batch=1)
+        out_q = bq.submit(img, "fire")
+        assert out_q.dtype == np.uint8
+        np.testing.assert_array_equal(out_q, to_uint8(bf.submit(img, "fire")))
+
 
 def _b64(img: np.ndarray) -> str:
     buf = io.BytesIO()

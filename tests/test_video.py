@@ -48,6 +48,16 @@ class TestCrossDissolve:
 
 
 class TestVideoPipeline:
+    def test_u8_device_matches_host_to_uint8(self):
+        """Device-side quantization (fetch 4x fewer bytes) must equal the
+        host to_uint8 semantics bit-for-bit, including out-of-range."""
+        from tbist_tpu.utils.imageio import to_uint8
+
+        x = jnp.asarray(RNG.random((2, 8, 8, 3)).astype(np.float32)) * 1.2 - 0.1
+        np.testing.assert_array_equal(
+            np.asarray(vid._u8_device(x)), to_uint8(np.asarray(x))
+        )
+
     def test_grayscale_video_roundtrip(self):
         with tempfile.TemporaryDirectory() as d:
             in_path = os.path.join(d, "in.mp4")
