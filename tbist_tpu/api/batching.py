@@ -196,9 +196,9 @@ class FastTextBatcher:
                     images, [it.prompt for it in items]
                 )
                 if self.quantize_uint8:  # quantize on device, fetch uint8
-                    out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(
-                        jnp.uint8
-                    )
+                    from tbist_tpu.utils.imageio import to_uint8_device
+
+                    out = to_uint8_device(out)
                 out_np = np.asarray(out)
             self.batches_run += 1
             self.requests_served += len(items)

@@ -99,6 +99,20 @@ def to_device(
     return x
 
 
+def to_uint8_device(x: "jnp.ndarray") -> "jnp.ndarray":
+    """float [0,1] -> uint8 ON DEVICE, exact ``to_uint8`` semantics
+    (clip(round(x*255))). Fetching uint8 moves 4x fewer bytes through
+    the ~31 MB/s axon host link than f32 (benchmarks/PROFILE.md
+    round-3e). bf16 inputs are widened to f32 first so quantization
+    matches the host path bit-for-bit (bf16 has ~1 ulp at 255)."""
+    x = x.astype(jnp.float32)
+    return jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+
+
 def from_device(x: ArrayLike) -> Image.Image:
-    """Device NHWC float -> PIL image (host)."""
+    """Device NHWC float -> PIL image (host). Float DEVICE arrays
+    quantize to uint8 on device before the fetch; ``to_uint8``'s uint8
+    passthrough keeps the bytes identical to host-side quantization."""
+    if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+        x = to_uint8_device(x)
     return to_pil(np.asarray(x))

@@ -90,11 +90,11 @@ def cross_dissolve(frames: List[np.ndarray], k: int) -> List[np.ndarray]:
 
 
 def _u8_device(x: jnp.ndarray) -> jnp.ndarray:
-    """float [0,1] frames -> uint8 ON DEVICE (same clip(round(x*255))
-    semantics as utils.imageio.to_uint8). Fetching uint8 moves 4x fewer
-    bytes through the ~31 MB/s axon host link than f32 — at fast-text
-    rates the f32 fetch, not the model, dominated the loop."""
-    return jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+    """Quantize frames on device before fetching — at fast-text rates
+    the f32 fetch, not the model, dominated the loop (PROFILE.md 3e)."""
+    from tbist_tpu.utils.imageio import to_uint8_device
+
+    return to_uint8_device(x)
 
 
 def _is_pure_style_request(req: EffectRequest) -> bool:
