@@ -191,7 +191,10 @@ class FastTextBatcher:
             if images.dtype == jnp.uint8:  # upload was 4x lighter; cast
                 images = images.astype(jnp.float32) / 255.0  # on device
             guard = self._device_lock or contextlib.nullcontext()
-            with guard:
+            with guard:  # dispatch under the lock; fetch OUTSIDE it —
+                # np.asarray only waits/copies and needs no device-lock
+                # protection, so a ~200 ms batch-8 fetch through the axon
+                # link must not stall non-batched pipeline requests
                 out = tt.perform_transfer_batch(
                     images, [it.prompt for it in items]
                 )
@@ -199,7 +202,7 @@ class FastTextBatcher:
                     from tbist_tpu.utils.imageio import to_uint8_device
 
                     out = to_uint8_device(out)
-                out_np = np.asarray(out)
+            out_np = np.asarray(out)
             self.batches_run += 1
             self.requests_served += len(items)
             self._batch_sizes.append(len(items))

@@ -35,7 +35,10 @@ class ModelRegistry:
     vgg_params: Any = None
     # (image NHWC, prompt) -> stylized NHWC
     text_transfer: Optional[Callable] = None
-    # (image NHWC, prompt) -> (H, W) bool mask
+    # (image, prompt) -> (H, W) bool mask. image arrives as NHWC float
+    # [0,1] OR (H, W, 3) uint8 0-255 — the preprocess path hands the
+    # extractor host uint8 so uploads stay uint8 (CLAUDE.md transfer
+    # rule); injected extractors must accept both forms (the builtins do)
     mask_extractor: Optional[Callable] = None
     # (prompt) -> (He, We) bool stencil
     emoji_extractor: Optional[Callable] = None

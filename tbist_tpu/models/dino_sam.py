@@ -443,6 +443,12 @@ def extract_mask(
     dependency) is queued on-device BEFORE the host blocks on DINO's
     logits — the device runs DINO then SAM back-to-back while the host
     does its thresholding/phrase work, instead of idling between stages.
+
+    Intended tradeoff: when DINO detects NOTHING the SAM encoder ran for
+    naught (the strictly serial reference skips it,
+    TextMaskExtractor.py:52-53) — the encoder cannot wait for the box
+    count without forfeiting the overlap, and the boxes-found case is
+    the product's common path (PROFILE.md round-3d: −24% chain latency).
     """
     sam_cfg = sam_cfg or sam_lib.BASE
     h, w = image.shape[:2]

@@ -137,9 +137,9 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
     g_params, m_params = tt.default_params()
     from tbist_tpu.models import clip_text
 
-    emb = clip_text.get_default_encoder()(req.text.style_prompt)
-    emb = jnp.mean(emb.astype(jnp.float32), axis=0, keepdims=True)
-    emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    emb = tt._pooled_embedding(
+        req.text.style_prompt, clip_text.get_default_encoder()
+    )
     style = clip_mlp.apply(m_params, emb)  # (1, 100)
 
     mesh = mesh_lib.production_mesh(dp_only=True)
