@@ -5,7 +5,8 @@ production-style deployment this module exposes the same capabilities as a
 minimal JSON API with zero extra dependencies:
 
   GET  /healthz            -> {"status": "ok", "backend": ..., "devices": N,
-                              "batching": {counters}} (when batching is on)
+                              "batching": {counters}} (when batching is on),
+                              "warmup_s": {shape: s} (with --warmup-size)
   POST /v1/image           -> body {"image": b64, "request": {...},
                               "style_image": b64?, "style_image1": b64?,
                               "style_image2": b64?, "color_palette_image": b64?}
@@ -85,6 +86,9 @@ class _Handler(BaseHTTPRequestHandler):
                     "batches_run": batcher.batches_run,
                     "requests_served": batcher.requests_served,
                 }
+            warm = getattr(self.server, "warmup", None)
+            if warm is not None:
+                reply["warmup_s"] = warm
             self._reply(200, reply)
         else:
             self._reply(404, {"error": "unknown path"})
@@ -218,15 +222,53 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
 
+def warmup_fast_text(
+    sizes=(512,), batch_sizes=(1,), quantize_uint8: bool = True
+) -> dict:
+    """Precompile the fast-text programs before accepting traffic.
+
+    XLA compiles per shape; the first 512px request otherwise pays the
+    full trace+compile (the north-star cold/warm split is 24.8 s vs
+    2.4 s, benchmarks/results.json) — and under axon a persistent
+    compilation cache is unavailable (CLAUDE.md), so warming must happen
+    per process. Compiles one program per (size, padded batch) plus the
+    device quantization epilogue the serve path fetches through. Returns
+    {\"{size}px_b{batch}\": seconds} for the healthz report.
+    """
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tbist_tpu.effects import text_transfer as tt
+    from tbist_tpu.utils.imageio import to_uint8_device
+
+    timings = {}
+    for size in sizes:
+        for bsz in batch_sizes:
+            t0 = time.perf_counter()
+            x = jnp.zeros((bsz, size, size, 3), jnp.float32)
+            out = tt.perform_transfer_batch(x, ["warmup"] * bsz)
+            if quantize_uint8:
+                out = to_uint8_device(out)
+            np.asarray(out)
+            timings[f"{size}px_b{bsz}"] = round(time.perf_counter() - t0, 3)
+    logger.info("serve: warmup compiled %s", timings)
+    return timings
+
+
 def make_server(
     port: int = 8000,
     host: str = "127.0.0.1",
     batch_max: int = 0,
     batch_window_ms: float = 4.0,
+    warmup_size: int = 0,
 ) -> ThreadingHTTPServer:
     """``batch_max > 0`` enables cross-request micro-batching of
     fast-text requests (api/batching.py); 0 keeps every request on the
-    sequential pipeline path."""
+    sequential pipeline path. ``warmup_size > 0`` precompiles the
+    fast-text programs at that resolution (batch 1 and, with batching
+    on, the padded max batch) before the server is returned."""
     server = ThreadingHTTPServer((host, port), _Handler)
     server.batcher = None
     if batch_max > 0:
@@ -237,6 +279,13 @@ def make_server(
             window_ms=batch_window_ms,
             device_lock=_Handler._lock,
             quantize_uint8=True,  # serve re-encodes to PNG; fetch uint8
+        )
+    server.warmup = None
+    if warmup_size > 0:
+        batches = (1,) if batch_max <= 0 else (1, batch_max)
+        server.warmup = warmup_fast_text(
+            sizes=(warmup_size,), batch_sizes=batches,
+            quantize_uint8=batch_max > 0,
         )
     return server
 
@@ -253,10 +302,16 @@ def main():
         "TPU program (0 disables batching)",
     )
     ap.add_argument("--batch-window-ms", type=float, default=4.0)
+    ap.add_argument(
+        "--warmup-size", type=int, default=0,
+        help="precompile fast-text programs at NxN before serving "
+        "(0 disables; typical: 512)",
+    )
     args = ap.parse_args()
     server = make_server(
         args.port, args.host,
         batch_max=args.batch_max, batch_window_ms=args.batch_window_ms,
+        warmup_size=args.warmup_size,
     )
     logger.info(
         "serving on %s:%d (fast-text batching %s)",

@@ -211,3 +211,35 @@ class TestRequestSchema:
     def test_tuple_coercion(self):
         req = request_from_dict({"gatys": {"style_layers": ["conv1_1", "conv2_1"]}})
         assert req.gatys.style_layers == ("conv1_1", "conv2_1")
+
+
+class TestWarmup:
+    def test_warmup_compiles_and_reports(self):
+        """warmup_size precompiles the fast-text programs (batch 1 and
+        the padded max batch) and healthz reports the compile timings."""
+        srv = serve.make_server(port=0, batch_max=2, warmup_size=16)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            with urllib.request.urlopen(url + "/healthz") as r:
+                data = json.loads(r.read())
+            assert set(data["warmup_s"]) == {"16px_b1", "16px_b2"}
+            assert all(v > 0 for v in data["warmup_s"].values())
+            # the warmed program serves a real request
+            img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(
+                np.uint8
+            )
+            status, reply = _post(
+                url + "/v1/image",
+                {"image": _b64(img),
+                 "request": {"text": {"style_prompt": "fire"}}},
+            )
+            assert status == 200 and reply["batch"] >= 1
+        finally:
+            srv.shutdown()
+
+    def test_no_warmup_by_default(self, server_url):
+        with urllib.request.urlopen(server_url + "/healthz") as r:
+            data = json.loads(r.read())
+        assert "warmup_s" not in data
