@@ -189,6 +189,16 @@ def _measure(
         )
         results["fast_text_transfer_512px_ms"] = dt * 1e3
 
+        # 2a. bf16 activation stream (TBIST_GHIASI_BF16 candidate —
+        # default-off until this number shows a win on real TPU)
+        dt = _timeit(
+            lambda: text_transfer._transfer_dtype_jit(
+                g_params, m_params, content, emb, jnp.bfloat16
+            ),
+            warmup=1, iters=3 if quick else 10,
+        )
+        results["fast_text_transfer_512px_bf16_ms"] = dt * 1e3
+
     # 2b. cross-request micro-batching win (api/batching.py): 8 concurrent
     # fast-text requests as ONE batch-8 program vs 8 sequential batch-1
     # dispatches. Both sides fetch scalars only (device→host over the axon

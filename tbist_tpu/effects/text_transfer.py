@@ -45,10 +45,35 @@ def fallback_text_embedding(text: str) -> jnp.ndarray:
     return jnp.asarray(vec / np.linalg.norm(vec, axis=-1, keepdims=True))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _transfer_jit(g_params, m_params, image, text_embedding):
+def compute_dtype():
+    """Activation dtype for the feed-forward Ghiasi path.
+
+    ``TBIST_GHIASI_BF16=1`` streams activations in bf16 (instance-norm
+    statistics stay f32, models/ghiasi.py) — the path is HBM-bound, so
+    halving the bytes is the lever; the final sigmoid returns f32 either
+    way. Default f32 until the win is measured on real TPU (same
+    default-off-until-measured policy as the SAM attention kernel).
+    Read at trace time: flip the env var before the first call.
+    """
+    import os
+
+    return (
+        jnp.bfloat16
+        if os.environ.get("TBIST_GHIASI_BF16", "0") == "1"
+        else jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _transfer_dtype_jit(g_params, m_params, image, text_embedding, dtype):
     style = clip_mlp.apply(m_params, text_embedding)
-    return ghiasi.apply(g_params, image, style)
+    return ghiasi.apply(g_params, image, style, compute_dtype=dtype)
+
+
+def _transfer_jit(g_params, m_params, image, text_embedding):
+    return _transfer_dtype_jit(
+        g_params, m_params, image, text_embedding, compute_dtype()
+    )
 
 
 def _pooled_embedding(text: str, text_encoder) -> jnp.ndarray:

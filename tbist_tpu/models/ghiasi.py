@@ -93,6 +93,10 @@ def _reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 def _conv(x, p, stride: int, compute_dtype):
+    """Conv + bias in ``compute_dtype``. Activations FLOW in that dtype —
+    the path is HBM-bound at ~2% MFU (the MXU already runs fast-bf16 on
+    f32 inputs), so a bf16 activation stream halves the traffic of every
+    layer; for f32 this is the original program bit-for-bit."""
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         p["kernel"].astype(compute_dtype),
@@ -100,20 +104,30 @@ def _conv(x, p, stride: int, compute_dtype):
         "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return out.astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out + p["bias"].astype(compute_dtype)
 
 
 def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Per-(batch, channel) spatial normalization, no affine (torch default)."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """Per-(batch, channel) spatial normalization, no affine (torch
+    default). Statistics accumulate in f32 regardless of the activation
+    dtype (bf16 mean/var over 512^2 pixels would lose ~2 decimal
+    digits); the normalized result stays in x's dtype."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(x.astype(jnp.float32) - mean), axis=(1, 2), keepdims=True
+    )
+    scale = jax.lax.rsqrt(var + eps)
+    return (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
 
 
 def _film(x, p_gamma, p_beta, style):
+    # the (B, 100) @ (100, C) affine is tiny — keep it f32, cast at use
     gamma = style @ p_gamma["kernel"] + p_gamma["bias"]  # (B, C)
     beta = style @ p_beta["kernel"] + p_beta["bias"]
-    return gamma[:, None, None, :] * x + beta[:, None, None, :]
+    return (
+        gamma[:, None, None, :].astype(x.dtype) * x
+        + beta[:, None, None, :].astype(x.dtype)
+    )
 
 
 def _upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -147,7 +161,8 @@ def apply(
             h = _conv(_reflect_pad(h, pad), p, 1, compute_dtype)
             h = _film(_instance_norm(h), p["fc_gamma"], p["fc_beta"], style)
             x = jax.nn.relu(h) if name != "dec3" else h
-    return jax.nn.sigmoid(x)
+    # f32 output regardless of the activation stream (no-op for f32)
+    return jax.nn.sigmoid(x.astype(jnp.float32))
 
 
 def init_params(*args, **kwargs):

@@ -148,9 +148,12 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
         g_params = jax.device_put(g_params, mesh_lib.replicated(mesh))
         style = jax.device_put(style, mesh_lib.replicated(mesh))
 
+    cd = tt.compute_dtype()  # TBIST_GHIASI_BF16 streams activations bf16
     fwd = jax.jit(
         lambda x, s: _u8_device(
-            ghiasi.apply(g_params, x.astype(jnp.float32) / 255.0, s)
+            ghiasi.apply(
+                g_params, x.astype(jnp.float32) / 255.0, s, compute_dtype=cd
+            )
         )
     )
     bsz = _chunk_size(req.video.frame_batch, dp)

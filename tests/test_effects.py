@@ -223,3 +223,34 @@ class TestPaletteClamp:
         img = jnp.asarray(np.random.default_rng(3).random((8, 8, 3)), jnp.float32)
         pal = palette_ops.palette_from_image(img, 0, jax.random.key(0))
         assert pal.ndim == 2 and pal.shape[0] >= 1 and pal.shape[1] == 3
+
+
+class TestGhiasiBf16Stream:
+    """TBIST_GHIASI_BF16: bf16 activation stream for the HBM-bound
+    feed-forward path (models/ghiasi.py _conv/_instance_norm notes)."""
+
+    def test_bf16_output_close_to_f32_and_f32_typed(self):
+        from tbist_tpu.effects import text_transfer as tt
+
+        g, m = tt.default_params()
+        x = jnp.asarray(RNG.random((1, 64, 64, 3)).astype(np.float32))
+        emb = tt.fallback_text_embedding("fire")
+        f32 = np.asarray(tt._transfer_dtype_jit(g, m, x, emb, jnp.float32))
+        b16 = np.asarray(tt._transfer_dtype_jit(g, m, x, emb, jnp.bfloat16))
+        assert b16.dtype == np.float32  # final sigmoid widens
+        assert np.abs(b16 - f32).max() < 0.05
+        assert np.abs(b16 - f32).mean() < 0.005
+
+    def test_env_flag_routes_default_entry(self, monkeypatch):
+        from tbist_tpu.effects import text_transfer as tt
+
+        g, m = tt.default_params()
+        x = jnp.asarray(RNG.random((1, 32, 32, 3)).astype(np.float32))
+        emb = tt.fallback_text_embedding("water")
+        monkeypatch.setenv("TBIST_GHIASI_BF16", "1")
+        flagged = np.asarray(tt._transfer_jit(g, m, x, emb))
+        monkeypatch.delenv("TBIST_GHIASI_BF16")
+        np.testing.assert_array_equal(
+            flagged,
+            np.asarray(tt._transfer_dtype_jit(g, m, x, emb, jnp.bfloat16)),
+        )
