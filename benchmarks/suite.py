@@ -183,14 +183,18 @@ def _measure(
     g_params, m_params = text_transfer.default_params()
     if not mask:
         emb = text_transfer.fallback_text_embedding("starry night")
-        dt = _timeit(
-            lambda: text_transfer._transfer_jit(g_params, m_params, content, emb),
+        dt = _timeit(  # pinned f32 — the pre-round-3f reference program
+            lambda: text_transfer._transfer_dtype_jit(
+                g_params, m_params, content, emb, jnp.float32
+            ),
             warmup=1, iters=3 if quick else 10,
         )
         results["fast_text_transfer_512px_ms"] = dt * 1e3
 
-        # 2a. bf16 activation stream (TBIST_GHIASI_BF16 candidate —
-        # default-off until this number shows a win on real TPU)
+        # 2a. bf16 activation stream (the default since round-3f:
+        # 21.5 vs 29.5 ms f32 same-session on v5e; TBIST_GHIASI_BF16=0
+        # opts out). Kept as an explicit-dtype measurement so both
+        # programs stay pinned regardless of the env default.
         dt = _timeit(
             lambda: text_transfer._transfer_dtype_jit(
                 g_params, m_params, content, emb, jnp.bfloat16

@@ -48,19 +48,22 @@ def fallback_text_embedding(text: str) -> jnp.ndarray:
 def compute_dtype():
     """Activation dtype for the feed-forward Ghiasi path.
 
-    ``TBIST_GHIASI_BF16=1`` streams activations in bf16 (instance-norm
-    statistics stay f32, models/ghiasi.py) — the path is HBM-bound, so
-    halving the bytes is the lever; the final sigmoid returns f32 either
-    way. Default f32 until the win is measured on real TPU (same
-    default-off-until-measured policy as the SAM attention kernel).
-    Read at trace time: flip the env var before the first call.
+    Default bf16: the path is HBM-bound, so halving the activation bytes
+    is the lever — measured 21.5 ms vs 29.5 ms f32 at 512px on v5e
+    (same-session, benchmarks/PROFILE.md round-3f), with output within
+    1 uint8 level of f32 on the seeded model (max |Δ| 0.0016, mean
+    1.5e-4 at 256px). Instance-norm statistics stay f32
+    (models/ghiasi.py) and the final sigmoid returns f32 either way.
+    ``TBIST_GHIASI_BF16=0`` opts out to the bit-f32 program (e.g. for
+    golden regeneration). Read at trace time: flip the env var before
+    the first call.
     """
     import os
 
     return (
-        jnp.bfloat16
-        if os.environ.get("TBIST_GHIASI_BF16", "0") == "1"
-        else jnp.float32
+        jnp.float32
+        if os.environ.get("TBIST_GHIASI_BF16", "1") == "0"
+        else jnp.bfloat16
     )
 
 

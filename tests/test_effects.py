@@ -247,10 +247,16 @@ class TestGhiasiBf16Stream:
         g, m = tt.default_params()
         x = jnp.asarray(RNG.random((1, 32, 32, 3)).astype(np.float32))
         emb = tt.fallback_text_embedding("water")
-        monkeypatch.setenv("TBIST_GHIASI_BF16", "1")
-        flagged = np.asarray(tt._transfer_jit(g, m, x, emb))
-        monkeypatch.delenv("TBIST_GHIASI_BF16")
+        # default (no env var) is the bf16 stream — measured −27% at
+        # 512px on v5e with output within 1 uint8 level of f32
+        monkeypatch.delenv("TBIST_GHIASI_BF16", raising=False)
         np.testing.assert_array_equal(
-            flagged,
+            np.asarray(tt._transfer_jit(g, m, x, emb)),
             np.asarray(tt._transfer_dtype_jit(g, m, x, emb, jnp.bfloat16)),
+        )
+        # TBIST_GHIASI_BF16=0 opts out to the bit-f32 program
+        monkeypatch.setenv("TBIST_GHIASI_BF16", "0")
+        np.testing.assert_array_equal(
+            np.asarray(tt._transfer_jit(g, m, x, emb)),
+            np.asarray(tt._transfer_dtype_jit(g, m, x, emb, jnp.float32)),
         )
