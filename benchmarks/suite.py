@@ -80,7 +80,9 @@ def _model_metrics(results):
 
     da_params = da.init_params(key)
     f = jax.jit(lambda p, x: da.predict_depth(p, da.SMALL, x))
-    dt = _timeit(lambda: f(da_params, dimg), warmup=1, iters=3)
+    # scalar-slice sync: the full (1,480,640) f32 map is ~1.2 MB — over
+    # the ~31 MB/s axon link that fetch would be >50% of this metric
+    dt = _timeit(lambda: f(da_params, dimg).ravel()[0], warmup=1, iters=3)
     results["depth_anything_small_ms"] = dt * 1e3
     del da_params
 
@@ -183,22 +185,28 @@ def _measure(
     g_params, m_params = text_transfer.default_params()
     if not mask:
         emb = text_transfer.fallback_text_embedding("starry night")
+        # scalar-slice fetch: _timeit's one full-array sync would add a
+        # 3 MB f32 fetch (~100 ms over the ~31 MB/s axon link) amortized
+        # over only 10 iters — ~10 ms/iter of LINK noise on a ~12 ms
+        # metric, which is exactly how round-3f first mis-measured the
+        # bf16 delta as −27% (PROFILE.md round-3f).
         dt = _timeit(  # pinned f32 — the pre-round-3f reference program
             lambda: text_transfer._transfer_dtype_jit(
                 g_params, m_params, content, emb, jnp.float32
-            ),
+            )[0, 0, 0, 0],
             warmup=1, iters=3 if quick else 10,
         )
         results["fast_text_transfer_512px_ms"] = dt * 1e3
 
         # 2a. bf16 activation stream (the default since round-3f:
-        # 21.5 vs 29.5 ms f32 same-session on v5e; TBIST_GHIASI_BF16=0
+        # interleaved A/B gives 11.5 vs 12.2 ms at batch 1 and 62.5 vs
+        # 68.5 ms at batch 8 — a consistent 5-9%; TBIST_GHIASI_BF16=0
         # opts out). Kept as an explicit-dtype measurement so both
         # programs stay pinned regardless of the env default.
         dt = _timeit(
             lambda: text_transfer._transfer_dtype_jit(
                 g_params, m_params, content, emb, jnp.bfloat16
-            ),
+            )[0, 0, 0, 0],
             warmup=1, iters=3 if quick else 10,
         )
         results["fast_text_transfer_512px_bf16_ms"] = dt * 1e3
@@ -372,8 +380,10 @@ def _measure(
     if not mask and not text:
         seg = jnp.zeros((512, 512), bool).at[128:384, 128:384].set(True)
         emoji = jax.random.uniform(jax.random.key(4), (172, 172)) > 0.5
-        dt = _timeit(
-            lambda: masks.merge_content_style_masks(seg, emoji, 95, 0.5),
+        dt = _timeit(  # scalar sync — the (512,512) f32 fetch would add
+            lambda: masks.merge_content_style_masks(  # ~11 ms/iter of
+                seg, emoji, 95, 0.5  # link time to a device-op metric
+            ).ravel()[0],
             warmup=1, iters=3,
         )
         results["emoji_merge_512px_ms"] = dt * 1e3

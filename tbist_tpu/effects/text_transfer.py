@@ -48,11 +48,12 @@ def fallback_text_embedding(text: str) -> jnp.ndarray:
 def compute_dtype():
     """Activation dtype for the feed-forward Ghiasi path.
 
-    Default bf16: the path is HBM-bound, so halving the activation bytes
-    is the lever — measured 21.5 ms vs 29.5 ms f32 at 512px on v5e
-    (same-session, benchmarks/PROFILE.md round-3f), with output within
-    1 uint8 level of f32 on the seeded model (max |Δ| 0.0016, mean
-    1.5e-4 at 256px). Instance-norm statistics stay f32
+    Default bf16: halving the activation bytes buys a consistent 5-9%
+    on v5e — interleaved scalar-synced A/B: 11.5 vs 12.2 ms at batch 1,
+    62.5 vs 68.5 ms at batch 8, 512px (benchmarks/PROFILE.md round-3f;
+    an earlier −27% reading was axon host-link noise) — with output
+    within 1 uint8 level of f32 on the seeded model (max |Δ| 0.0016,
+    mean 1.5e-4 at 256px). Instance-norm statistics stay f32
     (models/ghiasi.py) and the final sigmoid returns f32 either way.
     ``TBIST_GHIASI_BF16=0`` opts out to the bit-f32 program (e.g. for
     golden regeneration). Read at trace time: flip the env var before

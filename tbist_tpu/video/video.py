@@ -14,6 +14,7 @@ is one vectorized lerp on device.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import tempfile
@@ -97,6 +98,22 @@ def _u8_device(x: jnp.ndarray) -> jnp.ndarray:
     return to_uint8_device(x)
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _text_fwd_u8_jit(g_params, chunk_u8, style_v, dtype):
+    """uint8 frames -> Ghiasi -> uint8, one MODULE-LEVEL jit. A
+    ``jax.jit(lambda ...)`` built inside the call (the old shape) owns a
+    fresh compile cache per ``apply_video`` invocation — every video
+    paid the full remote axon compile (~20-40 s) again, and closing over
+    ``g_params`` baked the weights in as program constants."""
+    from tbist_tpu.models import ghiasi
+    from tbist_tpu.utils.imageio import to_uint8_device
+
+    x = chunk_u8.astype(jnp.float32) / 255.0
+    return to_uint8_device(
+        ghiasi.apply(g_params, x, style_v, compute_dtype=dtype)
+    )
+
+
 def _is_pure_style_request(req: EffectRequest) -> bool:
     return (
         req.style_transfer
@@ -149,13 +166,7 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
         style = jax.device_put(style, mesh_lib.replicated(mesh))
 
     cd = tt.compute_dtype()  # TBIST_GHIASI_BF16 streams activations bf16
-    fwd = jax.jit(
-        lambda x, s: _u8_device(
-            ghiasi.apply(
-                g_params, x.astype(jnp.float32) / 255.0, s, compute_dtype=cd
-            )
-        )
-    )
+    fwd = lambda x, s: _text_fwd_u8_jit(g_params, x, s, cd)
     bsz = _chunk_size(req.video.frame_batch, dp)
     outs: List[np.ndarray] = []
     stack = np.stack(frames)  # host uint8; upload per chunk, cast on device

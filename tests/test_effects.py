@@ -247,7 +247,7 @@ class TestGhiasiBf16Stream:
         g, m = tt.default_params()
         x = jnp.asarray(RNG.random((1, 32, 32, 3)).astype(np.float32))
         emb = tt.fallback_text_embedding("water")
-        # default (no env var) is the bf16 stream — measured −27% at
+        # default (no env var) is the bf16 stream — measured −5-9% at
         # 512px on v5e with output within 1 uint8 level of f32
         monkeypatch.delenv("TBIST_GHIASI_BF16", raising=False)
         np.testing.assert_array_equal(
