@@ -50,6 +50,40 @@ def eligible(req: EffectRequest) -> bool:
     )
 
 
+def dispatch_fast_text_batch(
+    images: List[np.ndarray], prompts: List[str], quantize_uint8: bool = False
+):
+    """Stack host images and dispatch ONE batched fast-text program.
+
+    The exact device-program sequence the batcher runs per batch: uint8
+    host rows stay uint8 through the upload and are cast on device
+    (f32 rows upload as-is); ``perform_transfer_batch`` pads/shards and
+    runs the main program; ``quantize_uint8`` quantizes the result on
+    device. Returns the UNFETCHED device array so the caller controls
+    where the device lock ends and the host fetch begins.
+
+    The serve warmup calls this too, so precompilation covers precisely
+    the programs traffic will hit — including the per-arrival-size
+    stack/cast/pad/slice epilogues, each of which otherwise pays a
+    multi-second axon remote compile on first traffic (measured: a
+    first 3-request burst took 16.7 s with the b4 MAIN already warm,
+    vs 1.9 s once the epilogues had compiled).
+    """
+    import jax.numpy as jnp
+
+    from tbist_tpu.effects import text_transfer as tt
+
+    x = jnp.asarray(np.stack(images))
+    if x.dtype == jnp.uint8:  # upload was 4x lighter; cast on device
+        x = x.astype(jnp.float32) / 255.0
+    out = tt.perform_transfer_batch(x, list(prompts))
+    if quantize_uint8:  # quantize on device, fetch uint8
+        from tbist_tpu.utils.imageio import to_uint8_device
+
+        out = to_uint8_device(out)
+    return out
+
+
 class _Item:
     __slots__ = ("image", "prompt", "event", "result", "error", "batch_n")
 
@@ -183,25 +217,16 @@ class FastTextBatcher:
         try:
             import contextlib
 
-            import jax.numpy as jnp
-
-            from tbist_tpu.effects import text_transfer as tt
-
-            images = jnp.asarray(np.stack([it.image for it in items]))
-            if images.dtype == jnp.uint8:  # upload was 4x lighter; cast
-                images = images.astype(jnp.float32) / 255.0  # on device
             guard = self._device_lock or contextlib.nullcontext()
             with guard:  # dispatch under the lock; fetch OUTSIDE it —
                 # np.asarray only waits/copies and needs no device-lock
                 # protection, so a ~200 ms batch-8 fetch through the axon
                 # link must not stall non-batched pipeline requests
-                out = tt.perform_transfer_batch(
-                    images, [it.prompt for it in items]
+                out = dispatch_fast_text_batch(
+                    [it.image for it in items],
+                    [it.prompt for it in items],
+                    self.quantize_uint8,
                 )
-                if self.quantize_uint8:  # quantize on device, fetch uint8
-                    from tbist_tpu.utils.imageio import to_uint8_device
-
-                    out = to_uint8_device(out)
             out_np = np.asarray(out)
             self.batches_run += 1
             self.requests_served += len(items)

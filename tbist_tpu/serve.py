@@ -222,24 +222,33 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
 
-def warmup_fast_text(
-    sizes=(512,), batch_sizes=(1,), quantize_uint8: bool = True
-) -> dict:
+def warmup_fast_text(sizes=(512,), batch_sizes=()) -> dict:
     """Precompile the fast-text programs before accepting traffic.
 
     XLA compiles per shape; the first 512px request otherwise pays the
     full trace+compile (the north-star cold/warm split is 24.8 s vs
     2.4 s, benchmarks/results.json) — and under axon a persistent
     compilation cache is unavailable (CLAUDE.md), so warming must happen
-    per process. Compiles one program per (size, padded batch) plus the
-    device quantization epilogue the serve path fetches through. Returns
-    {\"{size}px_b{batch}\": seconds} for the healthz report.
+    per process.
+
+    Per size this warms (a) the non-batched pipeline program — f32
+    upload → ``perform_transfer`` → on-device uint8 quantize, keyed
+    ``"{size}px"`` — and (b) for each n in ``batch_sizes`` the
+    micro-batcher's EXACT dispatch sequence
+    (``api.batching.dispatch_fast_text_batch`` on uint8 host rows),
+    keyed ``"{size}px_b{n}"``. Warming only the padded power-of-two
+    MAIN programs is not enough under axon: every arrival size has its
+    own stack/cast/pad/slice epilogue programs, each paying a
+    multi-second remote compile — measured as a 16.7 s first 3-request
+    burst (b4 main already warm) vs 1.9 s once the epilogues existed.
+    Returns the per-key compile seconds for the healthz report.
     """
     import time
 
     import jax.numpy as jnp
     import numpy as np
 
+    from tbist_tpu.api.batching import dispatch_fast_text_batch
     from tbist_tpu.effects import text_transfer as tt
     from tbist_tpu.utils.imageio import to_uint8_device
 
@@ -247,12 +256,21 @@ def warmup_fast_text(
     for size in sizes:
         for bsz in batch_sizes:
             t0 = time.perf_counter()
-            x = jnp.zeros((bsz, size, size, 3), jnp.float32)
-            out = tt.perform_transfer_batch(x, ["warmup"] * bsz)
-            if quantize_uint8:
-                out = to_uint8_device(out)
-            np.asarray(out)
+            rows = [np.zeros((size, size, 3), np.uint8)] * bsz
+            np.asarray(
+                dispatch_fast_text_batch(
+                    rows, ["warmup"] * bsz, quantize_uint8=True
+                )
+            )
             timings[f"{size}px_b{bsz}"] = round(time.perf_counter() - t0, 3)
+        # non-batched pipeline program (also the fallback when a text
+        # request carries extra stages and skips the batcher); its main
+        # is shared with b1 above, so this mostly compiles the f32
+        # upload + quantize epilogues
+        t0 = time.perf_counter()
+        x = jnp.zeros((1, size, size, 3), jnp.float32)
+        np.asarray(to_uint8_device(tt.perform_transfer(x, "warmup")))
+        timings[f"{size}px"] = round(time.perf_counter() - t0, 3)
     logger.info("serve: warmup compiled %s", timings)
     return timings
 
@@ -267,8 +285,9 @@ def make_server(
     """``batch_max > 0`` enables cross-request micro-batching of
     fast-text requests (api/batching.py); 0 keeps every request on the
     sequential pipeline path. ``warmup_size > 0`` precompiles the
-    fast-text programs at that resolution (batch 1 and, with batching
-    on, the padded max batch) before the server is returned."""
+    fast-text programs at that resolution (the non-batched pipeline
+    program and, with batching on, the batcher's dispatch at EVERY
+    arrival size 1..max_batch) before the server is returned."""
     server = ThreadingHTTPServer((host, port), _Handler)
     server.batcher = None
     if batch_max > 0:
@@ -282,10 +301,12 @@ def make_server(
         )
     server.warmup = None
     if warmup_size > 0:
-        batches = (1,) if batch_max <= 0 else (1, batch_max)
+        # every arrival size, not just the padded power-of-two mains:
+        # each n has its own stack/pad/slice epilogue programs, and an
+        # unwarmed one costs seconds of axon remote compile mid-traffic
+        batches = () if batch_max <= 0 else tuple(range(1, batch_max + 1))
         server.warmup = warmup_fast_text(
-            sizes=(warmup_size,), batch_sizes=batches,
-            quantize_uint8=batch_max > 0,
+            sizes=(warmup_size,), batch_sizes=batches
         )
     return server
 

@@ -214,9 +214,24 @@ class TestRequestSchema:
 
 
 class TestWarmup:
+    def test_warmup_covers_every_arrival_batch_size(self):
+        """Every arrival size 1..max_batch compiles its own
+        stack/pad/slice epilogue programs (and together they cover all
+        padded power-of-two mains) — a 3-request burst otherwise pays
+        seconds of axon remote compile mid-traffic even with the b4
+        main warm. The non-batched pipeline program is warmed too."""
+        srv = serve.make_server(port=0, batch_max=5, warmup_size=8)
+        try:
+            assert set(srv.warmup) == {
+                "8px", "8px_b1", "8px_b2", "8px_b3", "8px_b4", "8px_b5"
+            }
+        finally:
+            srv.server_close()
+
     def test_warmup_compiles_and_reports(self):
-        """warmup_size precompiles the fast-text programs (batch 1 and
-        the padded max batch) and healthz reports the compile timings."""
+        """warmup_size precompiles the fast-text programs (every
+        arrival batch size plus the non-batched pipeline program) and
+        healthz reports the compile timings."""
         srv = serve.make_server(port=0, batch_max=2, warmup_size=16)
         t = threading.Thread(target=srv.serve_forever, daemon=True)
         t.start()
@@ -224,7 +239,7 @@ class TestWarmup:
             url = f"http://127.0.0.1:{srv.server_address[1]}"
             with urllib.request.urlopen(url + "/healthz") as r:
                 data = json.loads(r.read())
-            assert set(data["warmup_s"]) == {"16px_b1", "16px_b2"}
+            assert set(data["warmup_s"]) == {"16px", "16px_b1", "16px_b2"}
             assert all(v > 0 for v in data["warmup_s"].values())
             # the warmed program serves a real request
             img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(
