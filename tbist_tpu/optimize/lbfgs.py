@@ -84,6 +84,27 @@ def _hist_combine(coeff: jnp.ndarray, hist: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(c * hist, axis=0)
 
 
+def _bhist_dot(hist: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(B, m, *shape) x (B, *shape) -> (B, m); layout-preserving."""
+    return jnp.sum(hist * v[:, None], axis=tuple(range(2, hist.ndim)))
+
+
+def _bhist_outer(a: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """(B, m, *shape) x (B, m, *shape) -> (B, m, m); contracts all
+    trailing dims, native shape (no flatten — see ``update_batch``)."""
+    axes = list(range(2, a.ndim))
+    return jnp.einsum(
+        a, [0, 1, *axes], c, [0, a.ndim, *axes], [0, 1, a.ndim],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _bhist_combine(coeff: jnp.ndarray, hist: jnp.ndarray) -> jnp.ndarray:
+    """(B, m) x (B, m, *shape) -> (B, *shape); weighted row sums."""
+    c = coeff.reshape(coeff.shape + (1,) * (hist.ndim - 2))
+    return jnp.sum(c * hist, axis=1)
+
+
 @functools.partial(jax.jit, donate_argnames=("state",))
 def update(
     grad: jnp.ndarray, state: LBFGSState, lr: float = 1.0
@@ -168,6 +189,144 @@ def update(
         return -lr * r_vec, new_state
 
     step_vec, state = jax.lax.cond(state.step == 0, first_step, later_step, state)
+    state = state._replace(
+        step=state.step + 1, prev_grad=g, prev_step_vec=step_vec
+    )
+    return step_vec, state
+
+
+def init_batch_state(
+    batch: int,
+    shape: Union[int, Tuple[int, ...]],
+    memory_size: int,
+    dtype=jnp.float32,
+) -> LBFGSState:
+    """Batch-first state for ``update_batch``: history leaves carry a
+    leading (B,) lane axis, but ``step`` is ONE shared scalar — the B
+    independent optimizations advance in lockstep (that is exactly what
+    a batched ``fori_loop`` does anyway), and a scalar counter is what
+    keeps the step-0 branch a real ``lax.cond`` (see ``update_batch``).
+    """
+    if isinstance(shape, int):
+        shape = (shape,)
+    m = memory_size
+    return LBFGSState(
+        step=jnp.zeros((), jnp.int32),
+        s_hist=jnp.zeros((batch, m, *shape), dtype),
+        y_hist=jnp.zeros((batch, m, *shape), dtype),
+        rho=jnp.zeros((batch, m), dtype),
+        prev_grad=jnp.zeros((batch, *shape), dtype),
+        prev_step_vec=jnp.zeros((batch, *shape), dtype),
+        gamma=jnp.ones((batch,), dtype),
+    )
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def update_batch(
+    grads: jnp.ndarray, state: LBFGSState, lr: float = 1.0
+) -> Tuple[jnp.ndarray, LBFGSState]:
+    """One L-BFGS step for B independent lockstep optimizations.
+
+    Per lane this is the same math as ``update`` (torch-LBFGS-default
+    semantics; parity-tested against ``jax.vmap(update)`` in
+    tests/test_lbfgs.py) — but it is NOT implemented as ``vmap(update)``,
+    which on TPU costs ~5x per frame at B=1 (51 vs 11 ms/step at 512px,
+    benchmarks/PROFILE.md round-3h):
+
+    * vmap turns the per-lane ``step == 0`` predicate into a batched
+      ``select`` that executes BOTH branches every iteration and
+      dissolves the lax.cond fusion fence the single path relies on
+      (lbfgs.py ``update`` NOTE). Here ``step`` and the circular-buffer
+      ``slot`` are SHARED scalars, so the cond survives.
+    * per-lane slot indices turn the history row write into a scatter
+      and the row read into a gather; a scalar slot keeps them plain
+      dynamic slices on axis 1.
+
+    All contractions keep the gradient's NATIVE trailing shape (the
+    same rule as ``update``; flattening to (B, m, n) would not only
+    reintroduce layout copies but also merge the sp-sharded width axis,
+    forcing an all-gather and changing the partitioned reduction order —
+    measured as an 0.077 sharded-vs-unsharded drift after 2 steps on an
+    sp mesh, vs 1e-3-level agreement with native-shape contractions).
+    """
+    b = grads.shape[0]
+    m = state.s_hist.shape[1]
+    g = grads
+    lanes = tuple(range(1, g.ndim))  # per-lane contraction axes
+
+    def _bdot(a, c):  # (B, *shape) x (B, *shape) -> (B,)
+        return jnp.sum(a * c, axis=lanes, dtype=a.dtype)
+
+    def _col(v):  # (B,) -> broadcastable over (B, *shape)
+        return v.reshape((b,) + (1,) * (g.ndim - 1))
+
+    def first_step(state):
+        t = jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g), axis=lanes)) * lr
+        return -_col(t) * g, state
+
+    def later_step(state):
+        s = state.prev_step_vec
+        y = g - state.prev_grad
+        ys = _bdot(y, s)  # (B,)
+        valid = ys > 1e-10
+
+        slot = (state.step - 1) % m  # SHARED scalar slot
+        old_s = jax.lax.dynamic_slice_in_dim(state.s_hist, slot, 1, axis=1)
+        old_y = jax.lax.dynamic_slice_in_dim(state.y_hist, slot, 1, axis=1)
+        vrow = valid.reshape((b,) + (1,) * g.ndim)
+        s_hist = jax.lax.dynamic_update_slice_in_dim(
+            state.s_hist, jnp.where(vrow, s[:, None], old_s), slot, axis=1
+        )
+        y_hist = jax.lax.dynamic_update_slice_in_dim(
+            state.y_hist, jnp.where(vrow, y[:, None], old_y), slot, axis=1
+        )
+        old_rho = jax.lax.dynamic_slice_in_dim(state.rho, slot, 1, axis=1)
+        rho = jax.lax.dynamic_update_slice_in_dim(
+            state.rho,
+            jnp.where(valid, 1.0 / ys, old_rho[:, 0])[:, None],
+            slot,
+            axis=1,
+        )
+        gamma = jnp.where(valid, ys / _bdot(y, y), state.gamma)  # (B,)
+
+        # Same compact representation as ``update``, batched on the lane
+        # axis; history rows keep the gradient's native trailing shape.
+        SY = _bhist_outer(s_hist, y_hist)  # (B, m, m)
+        YY = _bhist_outer(y_hist, y_hist)
+
+        valid_slots = rho != 0.0  # (B, m)
+        chrono = (jnp.arange(m) - slot - 1) % m  # shared (m,)
+        keep = chrono[:, None] <= chrono[None, :]
+        eye = jnp.eye(m, dtype=g.dtype)
+        diag_fix = jnp.where(valid_slots, 0.0, 1.0)  # (B, m)
+        R = jnp.where(keep, SY, 0.0) + diag_fix[:, :, None] * eye
+        d_tilde = jnp.where(
+            valid_slots, jnp.diagonal(SY, axis1=1, axis2=2), 1.0
+        )
+
+        Sg = _bhist_dot(s_hist, g)  # (B, m)
+        Yg = _bhist_dot(y_hist, g)
+        p = jnp.linalg.solve(R, Sg[..., None])[..., 0]  # (B, m)
+        w = (
+            d_tilde * p
+            + gamma[:, None] * jnp.einsum("bij,bj->bi", YY, p)
+            - gamma[:, None] * Yg
+        )
+        u = jnp.linalg.solve(jnp.swapaxes(R, 1, 2), w[..., None])[..., 0]
+        r_vec = (
+            _col(gamma) * g
+            + _bhist_combine(u, s_hist)
+            - _col(gamma) * _bhist_combine(p, y_hist)
+        )
+
+        new_state = state._replace(
+            s_hist=s_hist, y_hist=y_hist, rho=rho, gamma=gamma
+        )
+        return -lr * r_vec, new_state
+
+    step_vec, state = jax.lax.cond(
+        state.step == 0, first_step, later_step, state
+    )
     state = state._replace(
         step=state.step + 1, prev_grad=g, prev_step_vec=step_vec
     )

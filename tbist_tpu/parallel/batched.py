@@ -116,9 +116,9 @@ def init_batch(
     b = frames.shape[0]
     frame_shape = frames.shape[1:]
     if cfg.optimizer == "lbfgs":
-        opt_state = jax.vmap(
-            lambda _: lbfgs.init_state(frame_shape, cfg.lbfgs_memory)
-        )(jnp.arange(b))
+        # batch-first state with a SHARED scalar step — vmapping the
+        # per-lane state costs ~5x at small B (see lbfgs.update_batch)
+        opt_state = lbfgs.init_batch_state(b, frame_shape, cfg.lbfgs_memory)
     else:
         opt_state = optax.adam(cfg.adam_lr).init(frames)
     state = BatchState(
@@ -149,9 +149,9 @@ def _train_step_impl(
     )
 
     if cfg.optimizer == "lbfgs":
-        step_vecs, opt_state = jax.vmap(
-            lambda g, s: lbfgs.update(g, s, lr=cfg.learning_rate)
-        )(grads, state.opt_state)
+        step_vecs, opt_state = lbfgs.update_batch(
+            grads, state.opt_state, lr=cfg.learning_rate
+        )
         new_imgs = imgs + step_vecs
     else:
         opt = optax.adam(cfg.adam_lr)
