@@ -19,7 +19,7 @@ seeded weights (SAM, GroundingDINO, Depth-Anything, T5, Ghiasi) —
 reproducing the numbers in PARITY.md.
 
 Writes benchmarks/results.json and prints one JSON line per metric.
-Run: python benchmarks/suite.py [--quick] [--models] [--mask] [--text]
+Run: python benchmarks/suite.py [--quick] [--models] [--mask] [--text] [--batch]
 """
 
 from __future__ import annotations
@@ -100,22 +100,24 @@ def _model_metrics(results):
 
 def main(
     quick: bool = False, models: bool = False, mask: bool = False,
-    text: bool = False,
+    text: bool = False, batch: bool = False,
 ):
     """Measure and merge; partial results persist even if a section dies."""
     results = {}
     try:
-        _measure(results, quick, models, mask, text)
+        _measure(results, quick, models, mask, text, batch)
     finally:
         _write(results)
 
 
 def _measure(
     results, quick: bool = False, models: bool = False, mask: bool = False,
-    text: bool = False,
+    text: bool = False, batch: bool = False,
 ):
     # mask=True: re-measure ONLY the DINO+SAM chain sections (3b + 8)
     # text=True: re-measure ONLY the fast-text sections (1b load, 2, 2b)
+    # batch=True: re-measure ONLY the batched-L-BFGS sections (4, 4b,
+    #   batch8, 6 MIP) — the ones the optimizer formulation moves
     import jax
     import jax.numpy as jnp
 
@@ -143,7 +145,7 @@ def _measure(
     steps = 100 if quick else 400
     on_tpu = jax.default_backend() not in ("cpu",)
     sizes = [512] if quick or not on_tpu else [512, 1024, 2048]
-    if mask or text:
+    if mask or text or batch:
         sizes = []
     for size in sizes:
         import dataclasses
@@ -173,7 +175,7 @@ def _measure(
     # number; the one-time cache build is a separate cold metric).
     # Compile time is NOT included — that is per-shape and measured by
     # e2e_clipstyler_200iter_cold_s.)
-    if not mask:
+    if not mask and not batch:
         from tbist_tpu.weights import vgg as vgg_weights
 
         t0 = time.perf_counter()
@@ -182,8 +184,9 @@ def _measure(
         results["model_load_s"] = time.perf_counter() - t0
 
     # 2. feed-forward text stylization latency
-    g_params, m_params = text_transfer.default_params()
-    if not mask:
+    if not batch:  # the text chain (8) needs these under --mask too
+        g_params, m_params = text_transfer.default_params()
+    if not mask and not batch:
         emb = text_transfer.fallback_text_embedding("starry night")
         # scalar-slice fetch: _timeit's one full-array sync would add a
         # 3 MB f32 fetch (~100 ms over the ~31 MB/s axon link) amortized
@@ -215,7 +218,7 @@ def _measure(
     # fast-text requests as ONE batch-8 program vs 8 sequential batch-1
     # dispatches. Both sides fetch scalars only (device→host over the axon
     # tunnel is ~31 MB/s; a batch-8 512px image fetch would dominate).
-    if not mask:
+    if not mask and not batch:
         bsz = 8
         content8 = jnp.concatenate([content] * bsz, axis=0)
         emb8 = jnp.concatenate([emb] * bsz, axis=0)
@@ -245,7 +248,7 @@ def _measure(
     # Ghiasi -> device-quantized uint8 fetch (1-deep pipelined) ->
     # encode. Unlike 4/4b (batched.run device time), this includes the
     # host link — the axon fetch is the bottleneck this path optimizes.
-    if not mask:
+    if not mask and not batch:
         import os
         import tempfile
 
@@ -286,7 +289,7 @@ def _measure(
     # the DINO+SAM chain (VERDICT r1 weak #2)
     from tbist_tpu.effects import masking
 
-    if not mask and not text:
+    if not mask and not text and not batch:
         extractor = masking.default_mask_extractor()
         resolved = (
             "fallback" if extractor is masking._fallback_location_mask else "dino_sam"
@@ -298,7 +301,7 @@ def _measure(
     # tokenize -> resize/normalize -> GroundingDINO forward -> thresholds
     # -> SAM encoder+decoder on one box (compute identical to the
     # weights-loaded path; only the numbers in the weights differ)
-    if (not quick or mask) and not text:
+    if (not quick or mask) and not text and not batch:
         from tbist_tpu.models import dino as dino_lib
         from tbist_tpu.models import dino_sam, sam as sam_lib
 
@@ -368,7 +371,7 @@ def _measure(
                      warmup=1, iters=1)
         results[f"video_mixing_frames_per_sec_256px_{vsteps}steps"] = 8 / dt
 
-    if not quick and not mask and not text:
+    if (not quick or batch) and not mask and not text:
         big = jax.random.uniform(jax.random.key(5), (8, 512, 512, 3), jnp.float32)
         bcfg = GatysConfig(num_steps=100)
         dt = _timeit(lambda: batched.run(bcfg, vgg_params, big, (style,)),
@@ -377,7 +380,7 @@ def _measure(
         results["batch8_512px_iters_per_sec_per_frame"] = bcfg.num_steps / dt
 
     # 5. emoji merge latency (512px mask, 172px stencil)
-    if not mask and not text:
+    if not mask and not text and not batch:
         seg = jnp.zeros((512, 512), bool).at[128:384, 128:384].set(True)
         emoji = jax.random.uniform(jax.random.key(4), (172, 172)) > 0.5
         dt = _timeit(  # scalar sync — the (512,512) f32 fetch would add
@@ -392,7 +395,7 @@ def _measure(
     # at the REAL operating points (r2 VERDICT #6): n=2 is the UI default
     # (reference app.py:976 value=2) and real images are 512px; the 256px
     # n=4 point is kept for cross-round comparability.
-    if not quick and not mask and not text:
+    if (not quick or batch) and not mask and not text:
         from tbist_tpu.effects import depth as depth_fx
 
         est = depth_fx._fallback_depth
@@ -429,7 +432,7 @@ def _measure(
     # 7. the north-star metric, RECORDED not derived (r2 VERDICT #5):
     # 200-iter CLIPstyler-style run at 512px, end-to-end — host upload,
     # optimization, uint8 result fetch. Cold includes compilation.
-    if not quick and not mask and not text:
+    if not quick and not mask and not text and not batch:
         from tbist_tpu.utils.imageio import to_uint8
 
         cfg200 = GatysConfig(num_steps=200)
@@ -453,7 +456,7 @@ def _measure(
     # 8. end-to-end text chain (r2 VERDICT #5): prompt -> seeded DINO+SAM
     # location mask -> Ghiasi text transfer -> emoji-stencil composite —
     # SURVEY §3.2's richest path as one user-visible latency.
-    if (not quick or mask) and not text:
+    if (not quick or mask) and not text and not batch:
         from tbist_tpu.effects import masking as masking_fx
         from tbist_tpu.models import dino as dino_lib
         from tbist_tpu.models import dino_sam, sam as sam_lib
@@ -530,5 +533,8 @@ if __name__ == "__main__":
     ap.add_argument("--text", action="store_true",
                     help="re-measure only the fast-text metrics "
                     "(model load, latency, batch-8 speedup)")
+    ap.add_argument("--batch", action="store_true",
+                    help="re-measure only the batched-optimizer metrics "
+                    "(video 4/4b, batch8, MIP)")
     args = ap.parse_args()
-    main(args.quick, args.models, args.mask, args.text)
+    main(args.quick, args.models, args.mask, args.text, args.batch)
