@@ -28,7 +28,7 @@ from tbist_tpu.utils.config import VGG_MEAN, VGG_STD, GatysConfig
 
 class BatchState(NamedTuple):
     images: jnp.ndarray  # (B, H, W, 3) pixels being optimized
-    opt_state: object  # per-frame lbfgs states (vmapped) or optax state
+    opt_state: object  # batch-first lbfgs state (shared slot) or optax state
     step: jnp.ndarray
 
 
