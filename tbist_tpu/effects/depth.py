@@ -96,10 +96,10 @@ def style_mip(
       layer's wall-clock. This is where batching pays.
     * sequential — n runs sharing one compiled program (strengths are
       traced). On a SINGLE chip this measured >= the batched plan at the
-      real operating points (benchmarks/PROFILE.md round-3b: 1.04x at
-      4x256px, and batched is 0.79-0.85x at 512px — one image already
-      saturates the chip and vmapped per-frame L-BFGS state adds HBM
-      traffic), so it is the single-device default.
+      real operating points even after the round-3h batch-first L-BFGS
+      (batched is 0.85-0.95x at n=2/4, 256/512px — the single-frame
+      gatys loop is simply more efficient per frame, 11.0 vs 13.3
+      ms/step at 512px), so it is the single-device default.
 
     ``batched=None`` picks automatically: batched iff a production mesh
     exists (>1 device). Both plans are 1-step parity-tested.

@@ -230,7 +230,7 @@ def update_batch(
     Per lane this is the same math as ``update`` (torch-LBFGS-default
     semantics; parity-tested against ``jax.vmap(update)`` in
     tests/test_lbfgs.py) — but it is NOT implemented as ``vmap(update)``,
-    which on TPU costs ~5x per frame at B=1 (51 vs 11 ms/step at 512px,
+    which on TPU costs ~4x per frame at B=1 (51 vs 12 ms/step at 512px,
     benchmarks/PROFILE.md round-3h):
 
     * vmap turns the per-lane ``step == 0`` predicate into a batched
@@ -241,6 +241,16 @@ def update_batch(
     * per-lane slot indices turn the history row write into a scatter
       and the row read into a gather; a scalar slot keeps them plain
       dynamic slices on axis 1.
+
+    The cond fence cuts BOTH ways: its operands include the whole
+    (B, m, *shape) history, and materializing that across the fence
+    grows with B while the fence's fusion win does not — measured
+    crossover is between B=2 and B=4 at 512px (round-3h table), so
+    ``parallel/batched.py`` selects this formulation only for small
+    batches (``_lbfgs_update``) and ``vmap(update)`` above the
+    threshold. An unfenced shared-slot variant (cond removed) loses at
+    EVERY batch size — the fence, not the branch choice, is what keeps
+    the compact block on the MXU.
 
     All contractions keep the gradient's NATIVE trailing shape (the
     same rule as ``update``; flattening to (B, m, n) would not only

@@ -3,7 +3,8 @@
 This is the distributed training-step analog for this framework: the
 "model" being trained is a batch of images (video frames), the loss is the
 Gatys objective against per-frame content targets and shared style grams,
-and the optimizer state is per-frame (vmapped L-BFGS or Adam).
+and the optimizer state is per-frame (L-BFGS — formulation selected by
+batch size, see ``_lbfgs_init`` — or Adam).
 
 Sharding: frames over ``dp``, image width over ``sp`` (see parallel.mesh).
 One jitted ``train_step`` performs loss + grad + optimizer update for the
@@ -28,8 +29,33 @@ from tbist_tpu.utils.config import VGG_MEAN, VGG_STD, GatysConfig
 
 class BatchState(NamedTuple):
     images: jnp.ndarray  # (B, H, W, 3) pixels being optimized
-    opt_state: object  # batch-first lbfgs state (shared slot) or optax state
+    opt_state: object  # lbfgs state (formulation by B, _lbfgs_init) or optax
     step: jnp.ndarray
+
+
+# L-BFGS formulation crossover (TPU, 512px, benchmarks/PROFILE.md
+# round-3h): the batch-first shared-slot step (lbfgs.update_batch) wins
+# at B<=2 (12.0 vs 51.4 ms/frame at B=1, 13.3 vs 14.6 at B=2) because
+# its lax.cond fence keeps the compact-representation block on the MXU;
+# above it, the fence's cost of materializing the (B, m, H, W, C)
+# history each step overtakes that win and the fully-fused
+# vmap(update) formulation is faster (10.3 vs 12.2 ms/frame at B=8).
+# B is a static shape inside the jitted step, so the choice compiles in.
+_BATCH_FIRST_MAX_B = 2
+
+
+def _lbfgs_init(b: int, frame_shape, memory_size: int):
+    if b <= _BATCH_FIRST_MAX_B:
+        return lbfgs.init_batch_state(b, frame_shape, memory_size)
+    return jax.vmap(lambda _: lbfgs.init_state(frame_shape, memory_size))(
+        jnp.arange(b)
+    )
+
+
+def _lbfgs_update(grads: jnp.ndarray, opt_state, lr: float):
+    if grads.shape[0] <= _BATCH_FIRST_MAX_B:
+        return lbfgs.update_batch(grads, opt_state, lr=lr)
+    return jax.vmap(lambda g, s: lbfgs.update(g, s, lr=lr))(grads, opt_state)
 
 
 def _per_frame_loss(cfg: GatysConfig, vgg_params, style_grams, compute_dtype):
@@ -116,9 +142,7 @@ def init_batch(
     b = frames.shape[0]
     frame_shape = frames.shape[1:]
     if cfg.optimizer == "lbfgs":
-        # batch-first state with a SHARED scalar step — vmapping the
-        # per-lane state costs ~5x at small B (see lbfgs.update_batch)
-        opt_state = lbfgs.init_batch_state(b, frame_shape, cfg.lbfgs_memory)
+        opt_state = _lbfgs_init(b, frame_shape, cfg.lbfgs_memory)
     else:
         opt_state = optax.adam(cfg.adam_lr).init(frames)
     state = BatchState(
@@ -149,7 +173,7 @@ def _train_step_impl(
     )
 
     if cfg.optimizer == "lbfgs":
-        step_vecs, opt_state = lbfgs.update_batch(
+        step_vecs, opt_state = _lbfgs_update(
             grads, state.opt_state, lr=cfg.learning_rate
         )
         new_imgs = imgs + step_vecs
