@@ -48,23 +48,52 @@ def read_frames(video_path: str, max_frames: Optional[int] = None):
     return frames, fps
 
 
-def write_video(frames: List[np.ndarray], fps: float, out_path: str) -> str:
+def _open_writer(out_path: str, fps: float, w: int, h: int):
     import cv2
 
-    h, w = frames[0].shape[:2]
     for codec in ("avc1", "mp4v"):
         fourcc = cv2.VideoWriter_fourcc(*codec)
         out = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
         if out.isOpened():
-            break
-    if not out.isOpened():
-        raise RuntimeError(
-            f"no usable mp4 codec (tried avc1, mp4v) for {out_path}"
-        )
+            return out
+    raise RuntimeError(
+        f"no usable mp4 codec (tried avc1, mp4v) for {out_path}"
+    )
+
+
+def write_video(frames: List[np.ndarray], fps: float, out_path: str) -> str:
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    out = _open_writer(out_path, fps, w, h)
     for f in frames:
         out.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
     out.release()
     return out_path
+
+
+class _StreamWriter:
+    """Encode frames as fetch workers deliver them (cv2 releases the GIL,
+    so encoding hides inside the next chunk's link wait). Opened lazily on
+    the first chunk — the processed frame size is not known up front."""
+
+    def __init__(self, out_path: str, fps: float):
+        self._out_path = out_path
+        self._fps = fps
+        self._wr = None
+
+    def __call__(self, chunk: np.ndarray) -> None:  # (B, H, W, 3) uint8
+        import cv2
+
+        if self._wr is None:
+            h, w = chunk.shape[1:3]
+            self._wr = _open_writer(self._out_path, self._fps, w, h)
+        for f in chunk:
+            self._wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+
+    def close(self) -> None:
+        if self._wr is not None:
+            self._wr.release()
 
 
 def cross_dissolve(frames: List[np.ndarray], k: int) -> List[np.ndarray]:
@@ -96,6 +125,41 @@ def _u8_device(x: jnp.ndarray) -> jnp.ndarray:
     from tbist_tpu.utils.imageio import to_uint8_device
 
     return to_uint8_device(x)
+
+
+class _FetchPipeline:
+    """Ordered, windowed device→host fetch over worker threads.
+
+    The axon tunnel serves ~17 MB/s to a single fetch but ~25 MB/s
+    aggregate to two concurrent ones (each stream slows ~35%, the SUM
+    speeds up — measured, PROFILE.md round-3i), and the host-side
+    consumer (cv2 encode) releases the GIL, so it runs for free inside
+    the workers' network waits. ``submit`` enqueues a device array
+    (dispatch stays async); ``drain``/``close`` yield np arrays in
+    submission order. The window bounds device-resident results so a
+    long video can't pile every chunk up in HBM; ``close`` flushes the
+    tail in order."""
+
+    def __init__(self, emit, workers: int = 2, window: int = 4):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ex = ThreadPoolExecutor(max_workers=workers)
+        self._futs: List = []
+        self._emit = emit
+        self._window = window
+
+    def submit(self, device_arr) -> None:
+        self._futs.append(self._ex.submit(np.asarray, device_arr))
+        while len(self._futs) > self._window:
+            self._emit(self._futs.pop(0).result())
+
+    def close(self) -> None:
+        try:
+            for f in self._futs:
+                self._emit(f.result())
+            self._futs = []
+        finally:
+            self._ex.shutdown(wait=True)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -141,12 +205,19 @@ def _is_pure_text_transfer_request(req: EffectRequest) -> bool:
     )
 
 
-def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List[np.ndarray]:
+def _batched_text_transfer(
+    frames: List[np.ndarray], req: EffectRequest, sink=None
+) -> Optional[List[np.ndarray]]:
     """Feed-forward Ghiasi stylization of all frames in dp batches: the
     prompt embeds once, then one jitted forward per frame batch (the
     reference re-runs CLIP + Ghiasi per frame through the full image
     pipeline, app.py:794). With >1 device the batch shards over the
-    production dp-only mesh and weights replicate."""
+    production dp-only mesh and weights replicate.
+
+    ``sink``: optional callable receiving each fetched (B, H, W, 3)
+    uint8 chunk in order (streaming encode); None collects and returns
+    the frame list. Fetches ride a 2-worker pipeline either way
+    (_FetchPipeline)."""
     from tbist_tpu.effects import text_transfer as tt
     from tbist_tpu.models import clip_mlp, ghiasi
     from tbist_tpu.parallel import mesh as mesh_lib
@@ -169,22 +240,22 @@ def _batched_text_transfer(frames: List[np.ndarray], req: EffectRequest) -> List
     fwd = lambda x, s: _text_fwd_u8_jit(g_params, x, s, cd)
     bsz = _chunk_size(req.video.frame_batch, dp)
     outs: List[np.ndarray] = []
+    emit = sink if sink is not None else (lambda arr: outs.extend(arr))
     stack = np.stack(frames)  # host uint8; upload per chunk, cast on device
-    pending = None  # 1-deep pipeline: dispatch chunk i+1 before fetching
-    for i in range(0, stack.shape[0], bsz):  # chunk i (dispatch is async,
-        # so the device computes while the host drains the previous fetch)
-        chunk, pad = _pad_chunk(stack[i : i + bsz], bsz, dp, first=i == 0)
-        chunk = _upload(chunk, mesh)
-        sv = jnp.broadcast_to(style, (chunk.shape[0], style.shape[1]))
-        res = fwd(chunk, sv)
-        if pad:
-            res = res[:-pad]
-        if pending is not None:
-            outs.extend(np.asarray(pending))
-        pending = res
-    if pending is not None:
-        outs.extend(np.asarray(pending))
-    return outs
+    fetches = _FetchPipeline(emit)
+    try:  # dispatch is async: the device computes chunk i+1 while the
+        # fetch workers drain chunk i and ``emit`` encodes chunk i-1
+        for i in range(0, stack.shape[0], bsz):
+            chunk, pad = _pad_chunk(stack[i : i + bsz], bsz, dp, first=i == 0)
+            chunk = _upload(chunk, mesh)
+            sv = jnp.broadcast_to(style, (chunk.shape[0], style.shape[1]))
+            res = fwd(chunk, sv)
+            if pad:
+                res = res[:-pad]
+            fetches.submit(res)
+    finally:
+        fetches.close()
+    return None if sink is not None else outs
 
 
 def _chunk_size(frame_batch: int, dp: int) -> int:
@@ -235,10 +306,35 @@ def apply_video(
     inputs = inputs or pipe.EffectInputs()
     vcfg = req.video
 
+    new_fps = fps * (vcfg.interpolation_frames + 1) if vcfg.interpolation_frames else fps
+    if vcfg.slowmo:
+        # floor matches app.py:850-851 exactly; the max(1,·) guard is an
+        # intended divergence (reference writes fps=0 mp4s when
+        # floor(fps*speed)==0, e.g. 8fps at 0.1x — PARITY.md).
+        new_fps = max(1, math.floor(new_fps * vcfg.slowmo))
+    if out_path is None:
+        out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
+
+    batched_path = None
     if _is_pure_style_request(req) and inputs.style_image is not None:
-        processed = _batched_style(frames, req, inputs, registry)
+        batched_path = lambda sink: _batched_style(frames, req, inputs, registry, sink)
     elif _is_pure_text_transfer_request(req):
-        processed = _batched_text_transfer(frames, req)
+        batched_path = lambda sink: _batched_text_transfer(frames, req, sink)
+
+    if batched_path is not None and not vcfg.interpolation_frames:
+        # Streaming encode: frames go to the mp4 writer as the fetch
+        # workers deliver them (encode hides inside the link waits). Only
+        # when no cross-dissolve — interpolation needs the full list.
+        writer = _StreamWriter(out_path, new_fps)
+        try:
+            batched_path(writer)
+        finally:
+            writer.close()
+        _note_degraded(req, metrics)
+        return out_path
+
+    if batched_path is not None:
+        processed = batched_path(None)
     else:
         processed = []
         for i, frame in enumerate(frames):
@@ -255,24 +351,19 @@ def apply_video(
             processed.append(to_uint8(np.asarray(out)))
             logger.info("video: frame %d/%d done", i + 1, len(frames))
 
-    if metrics is not None:
-        from tbist_tpu.utils import degraded as _degraded
-
-        flags = _degraded.flags_for(pipe.needed_components(req))
-        if flags:
-            metrics.degraded = sorted(set(metrics.degraded) | set(flags))
-
+    _note_degraded(req, metrics)
     final = cross_dissolve(processed, vcfg.interpolation_frames)
-
-    new_fps = fps * (vcfg.interpolation_frames + 1) if vcfg.interpolation_frames else fps
-    if vcfg.slowmo:
-        # floor matches app.py:850-851 exactly; the max(1,·) guard is an
-        # intended divergence (reference writes fps=0 mp4s when
-        # floor(fps*speed)==0, e.g. 8fps at 0.1x — PARITY.md).
-        new_fps = max(1, math.floor(new_fps * vcfg.slowmo))
-    if out_path is None:
-        out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
     return write_video(final, new_fps, out_path)
+
+
+def _note_degraded(req: EffectRequest, metrics: Optional[RunMetrics]) -> None:
+    if metrics is None:
+        return
+    from tbist_tpu.utils import degraded as _degraded
+
+    flags = _degraded.flags_for(pipe.needed_components(req))
+    if flags:
+        metrics.degraded = sorted(set(metrics.degraded) | set(flags))
 
 
 def _batched_style(
@@ -280,7 +371,8 @@ def _batched_style(
     req: EffectRequest,
     inputs: pipe.EffectInputs,
     registry: Optional[pipe.ModelRegistry],
-) -> List[np.ndarray]:
+    sink=None,
+) -> Optional[List[np.ndarray]]:
     """dp-batched Gatys stylization of video frames (parallel.batched).
 
     On >1 device the PRODUCTION path shards here: frames over the mesh's
@@ -312,23 +404,22 @@ def _batched_style(
         logger.info("video: sharding frames over mesh dp=%d (dp-only)", dp)
 
     bsz = _chunk_size(req.video.frame_batch, dp)
-    outs = []
-    pending = None  # 1-deep pipeline (see _batched_text_transfer)
-    for i in range(0, stack.shape[0], bsz):
-        chunk, pad = _pad_chunk(stack[i : i + bsz], bsz, dp, first=i == 0)
-        x = _upload(chunk, mesh).astype(jnp.float32) / 255.0
-        if (bh, bw) != (h, w):
-            x = jax.image.resize(x, (x.shape[0], bh, bw, 3), "bilinear")
-        res = batched.run(cfg, vgg_params, x, (style,))
-        if pad:
-            res = res[:-pad]
-        if (bh, bw) != (h, w):
-            res = jax.image.resize(res, (res.shape[0], h, w, 3), "bilinear")
-        res = _u8_device(res)
-        if pending is not None:
-            outs.extend(np.asarray(pending))
-        pending = res
-        logger.info("video: dispatched frames %d-%d", i, i + res.shape[0])
-    if pending is not None:
-        outs.extend(np.asarray(pending))
-    return outs
+    outs: List[np.ndarray] = []
+    emit = sink if sink is not None else (lambda arr: outs.extend(arr))
+    fetches = _FetchPipeline(emit)  # see _batched_text_transfer
+    try:
+        for i in range(0, stack.shape[0], bsz):
+            chunk, pad = _pad_chunk(stack[i : i + bsz], bsz, dp, first=i == 0)
+            x = _upload(chunk, mesh).astype(jnp.float32) / 255.0
+            if (bh, bw) != (h, w):
+                x = jax.image.resize(x, (x.shape[0], bh, bw, 3), "bilinear")
+            res = batched.run(cfg, vgg_params, x, (style,))
+            if pad:
+                res = res[:-pad]
+            if (bh, bw) != (h, w):
+                res = jax.image.resize(res, (res.shape[0], h, w, 3), "bilinear")
+            fetches.submit(_u8_device(res))
+            logger.info("video: dispatched frames %d-%d", i, i + res.shape[0])
+    finally:
+        fetches.close()
+    return None if sink is not None else outs

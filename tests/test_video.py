@@ -164,3 +164,35 @@ class TestVideoPipeline:
             assert out_path and os.path.exists(out_path)
             frames, _ = vid.read_frames(out_path)
             assert len(frames) == 3
+
+    def test_sink_emission_matches_buffered(self):
+        """The 2-worker _FetchPipeline must deliver chunks to the sink in
+        submission order and bit-identical to the buffered return path
+        (7 frames / batch 2 = 4 chunks exercises the window + ordering)."""
+        from tbist_tpu.utils.config import TextEffectConfig
+
+        frames = [
+            (RNG.random((32, 32, 3)) * 255).astype(np.uint8) for _ in range(7)
+        ]
+        req = EffectRequest(
+            text=TextEffectConfig(style_prompt="mosaic"),
+            video=VideoConfig(frame_batch=2),
+        )
+        buffered = vid._batched_text_transfer(frames, req)
+        emitted = []
+        ret = vid._batched_text_transfer(frames, req, sink=emitted.append)
+        assert ret is None
+        streamed = [f for chunk in emitted for f in chunk]
+        assert len(streamed) == len(buffered) == 7
+        for a, b in zip(streamed, buffered):
+            np.testing.assert_array_equal(a, b)
+
+    def test_stream_writer_lazy_open_and_close(self):
+        with tempfile.TemporaryDirectory() as d:
+            w = vid._StreamWriter(os.path.join(d, "o.mp4"), 8.0)
+            assert w._wr is None  # no file until the first chunk arrives
+            w(np.zeros((2, 32, 48, 3), np.uint8))
+            w(np.full((1, 32, 48, 3), 255, np.uint8))
+            w.close()
+            frames, fps = vid.read_frames(os.path.join(d, "o.mp4"))
+            assert len(frames) == 3 and frames[0].shape == (32, 48, 3)
