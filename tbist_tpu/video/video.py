@@ -48,6 +48,123 @@ def read_frames(video_path: str, max_frames: Optional[int] = None):
     return frames, fps
 
 
+def probe_fps(video_path: str) -> float:
+    """Container fps without decoding any frames."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+    cap.release()
+    return fps
+
+
+def read_frame_chunks(
+    video_path: str,
+    chunk_size: int,
+    max_frames: Optional[int] = None,
+    rgb: bool = True,
+):
+    """Decode ``chunk_size`` frames at a time: (B, H, W, 3) uint8 chunks.
+
+    Constant memory in video length — the streaming batched paths consume
+    this instead of ``read_frames`` so a long video never materializes on
+    the host (reference app.py:784-815 buffers via per-frame temp JPGs).
+    ``rgb=False`` keeps cv2's native BGR (the device program flips
+    channels for free; saves one host cvtColor per frame each way)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    try:
+        buf: List[np.ndarray] = []
+        n = 0
+        while cap.isOpened():
+            ret, frame = cap.read()
+            if not ret:
+                break
+            buf.append(
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB) if rgb else frame
+            )
+            n += 1
+            if len(buf) == chunk_size:
+                yield np.stack(buf)
+                buf = []
+            if max_frames and n >= max_frames:
+                break
+        if buf:
+            yield np.stack(buf)
+    finally:
+        cap.release()
+
+
+class _Prefetch:
+    """Decode-ahead: pull chunks from a generator on ONE worker thread
+    with a bounded queue. cv2 decode releases the GIL, so on the 1-core
+    host the next chunk decodes inside the current chunk's axon link
+    wait instead of serializing before it (PROFILE.md round-3j)."""
+
+    _END = object()
+
+    def __init__(self, gen, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+        self._stop = False
+
+        def run():
+            try:
+                for item in gen:
+                    while not self._stop:
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop:
+                        gen.close()  # release the cv2 capture promptly
+                        break
+            except BaseException as e:  # re-raised on the consumer side
+                self._err = e
+            finally:
+                while True:  # END must land even if the queue is full
+                    try:
+                        self._q.put(self._END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if self._stop:
+                            break
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            self._t.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        """Abort: unblock and join the worker (consumer died mid-video —
+        without this a full queue would pin the decode thread and its
+        cv2 capture for the life of a serve process)."""
+        import queue
+
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._t.join(timeout=5)
+
+
 def _open_writer(out_path: str, fps: float, w: int, h: int):
     import cv2
 
@@ -77,10 +194,11 @@ class _StreamWriter:
     so encoding hides inside the next chunk's link wait). Opened lazily on
     the first chunk — the processed frame size is not known up front."""
 
-    def __init__(self, out_path: str, fps: float):
+    def __init__(self, out_path: str, fps: float, bgr: bool = False):
         self._out_path = out_path
         self._fps = fps
         self._wr = None
+        self._bgr = bgr  # chunks arrive BGR (device flipped them): no cvtColor
 
     def __call__(self, chunk: np.ndarray) -> None:  # (B, H, W, 3) uint8
         import cv2
@@ -89,7 +207,7 @@ class _StreamWriter:
             h, w = chunk.shape[1:3]
             self._wr = _open_writer(self._out_path, self._fps, w, h)
         for f in chunk:
-            self._wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            self._wr.write(f if self._bgr else cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
 
     def close(self) -> None:
         if self._wr is not None:
@@ -162,20 +280,27 @@ class _FetchPipeline:
             self._ex.shutdown(wait=True)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def _text_fwd_u8_jit(g_params, chunk_u8, style_v, dtype):
+@functools.partial(jax.jit, static_argnames=("dtype", "bgr"))
+def _text_fwd_u8_jit(g_params, chunk_u8, style_v, dtype, bgr=False):
     """uint8 frames -> Ghiasi -> uint8, one MODULE-LEVEL jit. A
     ``jax.jit(lambda ...)`` built inside the call (the old shape) owns a
     fresh compile cache per ``apply_video`` invocation — every video
     paid the full remote axon compile (~20-40 s) again, and closing over
-    ``g_params`` baked the weights in as program constants."""
+    ``g_params`` baked the weights in as program constants.
+
+    ``bgr``: frames arrive AND leave in cv2's native BGR; the channel
+    flips fuse into the device cast/quantize for free, so the 1-core
+    host skips one cvtColor per frame each way on the streaming path."""
     from tbist_tpu.models import ghiasi
     from tbist_tpu.utils.imageio import to_uint8_device
 
+    if bgr:
+        chunk_u8 = chunk_u8[..., ::-1]
     x = chunk_u8.astype(jnp.float32) / 255.0
-    return to_uint8_device(
+    out = to_uint8_device(
         ghiasi.apply(g_params, x, style_v, compute_dtype=dtype)
     )
+    return out[..., ::-1] if bgr else out
 
 
 def _is_pure_style_request(req: EffectRequest) -> bool:
@@ -205,8 +330,17 @@ def _is_pure_text_transfer_request(req: EffectRequest) -> bool:
     )
 
 
+def _iter_chunks(stack: np.ndarray, bsz: int):
+    for i in range(0, stack.shape[0], bsz):
+        yield stack[i : i + bsz]
+
+
 def _batched_text_transfer(
-    frames: List[np.ndarray], req: EffectRequest, sink=None
+    frames: Optional[List[np.ndarray]],
+    req: EffectRequest,
+    sink=None,
+    chunk_iter=None,
+    bgr: bool = False,
 ) -> Optional[List[np.ndarray]]:
     """Feed-forward Ghiasi stylization of all frames in dp batches: the
     prompt embeds once, then one jitted forward per frame batch (the
@@ -217,7 +351,12 @@ def _batched_text_transfer(
     ``sink``: optional callable receiving each fetched (B, H, W, 3)
     uint8 chunk in order (streaming encode); None collects and returns
     the frame list. Fetches ride a 2-worker pipeline either way
-    (_FetchPipeline)."""
+    (_FetchPipeline).
+
+    ``chunk_iter``: optional iterator of (B<=bsz, H, W, 3) uint8 chunks
+    replacing ``frames`` (streaming decode — constant host memory).
+    ``bgr``: chunks are cv2-native BGR and emissions stay BGR (the
+    device program flips channels; host does zero cvtColor work)."""
     from tbist_tpu.effects import text_transfer as tt
     from tbist_tpu.models import clip_mlp, ghiasi
     from tbist_tpu.parallel import mesh as mesh_lib
@@ -237,19 +376,20 @@ def _batched_text_transfer(
         style = jax.device_put(style, mesh_lib.replicated(mesh))
 
     cd = tt.compute_dtype()  # TBIST_GHIASI_BF16 streams activations bf16
-    fwd = lambda x, s: _text_fwd_u8_jit(g_params, x, s, cd)
     bsz = _chunk_size(req.video.frame_batch, dp)
     outs: List[np.ndarray] = []
     emit = sink if sink is not None else (lambda arr: outs.extend(arr))
-    stack = np.stack(frames)  # host uint8; upload per chunk, cast on device
+    if chunk_iter is None:
+        # host uint8; upload per chunk, cast on device
+        chunk_iter = _iter_chunks(np.stack(frames), bsz)
     fetches = _FetchPipeline(emit)
     try:  # dispatch is async: the device computes chunk i+1 while the
         # fetch workers drain chunk i and ``emit`` encodes chunk i-1
-        for i in range(0, stack.shape[0], bsz):
-            chunk, pad = _pad_chunk(stack[i : i + bsz], bsz, dp, first=i == 0)
+        for i, raw in enumerate(chunk_iter):
+            chunk, pad = _pad_chunk(raw, bsz, dp, first=i == 0)
             chunk = _upload(chunk, mesh)
             sv = jnp.broadcast_to(style, (chunk.shape[0], style.shape[1]))
-            res = fwd(chunk, sv)
+            res = _text_fwd_u8_jit(g_params, chunk, sv, cd, bgr)
             if pad:
                 res = res[:-pad]
             fetches.submit(res)
@@ -300,12 +440,13 @@ def apply_video(
     """Process a video through the effect chain. Returns the mp4 path."""
     if not video_path:
         return None
-    frames, fps = read_frames(video_path, max_frames)
-    if not frames:
-        return None
     inputs = inputs or pipe.EffectInputs()
     vcfg = req.video
 
+    pure_style = _is_pure_style_request(req) and inputs.style_image is not None
+    pure_text = _is_pure_text_transfer_request(req)
+
+    fps = probe_fps(video_path)
     new_fps = fps * (vcfg.interpolation_frames + 1) if vcfg.interpolation_frames else fps
     if vcfg.slowmo:
         # floor matches app.py:850-851 exactly; the max(1,·) guard is an
@@ -315,26 +456,54 @@ def apply_video(
     if out_path is None:
         out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
 
-    batched_path = None
-    if _is_pure_style_request(req) and inputs.style_image is not None:
-        batched_path = lambda sink: _batched_style(frames, req, inputs, registry, sink)
-    elif _is_pure_text_transfer_request(req):
-        batched_path = lambda sink: _batched_text_transfer(frames, req, sink)
+    if (pure_style or pure_text) and not vcfg.interpolation_frames:
+        # Fully streaming fast path: decode-ahead worker (constant host
+        # memory in video length) -> batched device program -> ordered
+        # fetch workers -> streaming mp4 encode. cv2 decode/encode both
+        # release the GIL, so on the 1-core host they hide inside the
+        # axon link waits. Only without cross-dissolve — interpolation
+        # needs the full frame list. The text path additionally stays in
+        # cv2-native BGR end-to-end (channels flip on device for free).
+        from tbist_tpu.parallel import mesh as mesh_lib
 
-    if batched_path is not None and not vcfg.interpolation_frames:
-        # Streaming encode: frames go to the mp4 writer as the fetch
-        # workers deliver them (encode hides inside the link waits). Only
-        # when no cross-dissolve — interpolation needs the full list.
-        writer = _StreamWriter(out_path, new_fps)
+        mesh = mesh_lib.production_mesh(dp_only=True)
+        dp = mesh.shape[mesh_lib.DP_AXIS] if mesh is not None else 1
+        bsz = _chunk_size(vcfg.frame_batch, dp)
+        bgr = pure_text
+        chunks = _Prefetch(
+            read_frame_chunks(video_path, bsz, max_frames, rgb=not bgr)
+        )
+        first = next(chunks, None)
+        if first is None:
+            return None
+        import itertools
+
+        chunk_iter = itertools.chain([first], chunks)
+        writer = _StreamWriter(out_path, new_fps, bgr=bgr)
         try:
-            batched_path(writer)
+            if pure_text:
+                _batched_text_transfer(
+                    None, req, sink=writer, chunk_iter=chunk_iter, bgr=True
+                )
+            else:
+                _batched_style(
+                    None, req, inputs, registry,
+                    sink=writer, chunk_iter=chunk_iter,
+                )
         finally:
             writer.close()
+            chunks.close()
         _note_degraded(req, metrics)
         return out_path
 
-    if batched_path is not None:
-        processed = batched_path(None)
+    frames, _ = read_frames(video_path, max_frames)
+    if not frames:
+        return None
+
+    if pure_style:
+        processed = _batched_style(frames, req, inputs, registry)
+    elif pure_text:
+        processed = _batched_text_transfer(frames, req)
     else:
         processed = []
         for i, frame in enumerate(frames):
@@ -367,11 +536,12 @@ def _note_degraded(req: EffectRequest, metrics: Optional[RunMetrics]) -> None:
 
 
 def _batched_style(
-    frames: List[np.ndarray],
+    frames: Optional[List[np.ndarray]],
     req: EffectRequest,
     inputs: pipe.EffectInputs,
     registry: Optional[pipe.ModelRegistry],
     sink=None,
+    chunk_iter=None,
 ) -> Optional[List[np.ndarray]]:
     """dp-batched Gatys stylization of video frames (parallel.batched).
 
@@ -380,7 +550,12 @@ def _batched_style(
     production_mesh for why sp drifts the L-BFGS trajectory), VGG weights
     and the style image replicated — replacing the reference's sequential
     one-device frame loop (app.py:784-815). Short chunks pad (repeat last
-    frame) to a dp multiple so the compiled program tiles evenly."""
+    frame) to a dp multiple so the compiled program tiles evenly.
+
+    ``chunk_iter``: optional iterator of uint8 RGB chunks replacing
+    ``frames`` (streaming decode — constant host memory)."""
+    import itertools
+
     from tbist_tpu.parallel import batched, mesh as mesh_lib
     from tbist_tpu.weights import vgg as vgg_weights
 
@@ -388,9 +563,16 @@ def _batched_style(
     vgg_params = registry.vgg_params or vgg_weights.get_params()
     cfg = req.gatys
 
-    h, w = frames[0].shape[:2]
+    if chunk_iter is not None:
+        chunk_iter = iter(chunk_iter)
+        first = next(chunk_iter, None)
+        if first is None:
+            return None if sink is not None else []
+        h, w = first.shape[1:3]
+        chunk_iter = itertools.chain([first], chunk_iter)
+    else:
+        h, w = frames[0].shape[:2]
     bh, bw = bucket_shape(h, w, cfg.shape_bucket, cfg.max_side)
-    stack = np.stack(frames)  # host uint8; upload per chunk, cast on device
     style = inputs.style_image
     sh, sw = bucket_shape(style.shape[1], style.shape[2], cfg.shape_bucket, cfg.max_side)
     if (sh, sw) != (style.shape[1], style.shape[2]):
@@ -404,12 +586,15 @@ def _batched_style(
         logger.info("video: sharding frames over mesh dp=%d (dp-only)", dp)
 
     bsz = _chunk_size(req.video.frame_batch, dp)
+    if chunk_iter is None:
+        # host uint8; upload per chunk, cast on device
+        chunk_iter = _iter_chunks(np.stack(frames), bsz)
     outs: List[np.ndarray] = []
     emit = sink if sink is not None else (lambda arr: outs.extend(arr))
     fetches = _FetchPipeline(emit)  # see _batched_text_transfer
     try:
-        for i in range(0, stack.shape[0], bsz):
-            chunk, pad = _pad_chunk(stack[i : i + bsz], bsz, dp, first=i == 0)
+        for i, raw in enumerate(chunk_iter):
+            chunk, pad = _pad_chunk(raw, bsz, dp, first=i == 0)
             x = _upload(chunk, mesh).astype(jnp.float32) / 255.0
             if (bh, bw) != (h, w):
                 x = jax.image.resize(x, (x.shape[0], bh, bw, 3), "bilinear")
@@ -419,7 +604,9 @@ def _batched_style(
             if (bh, bw) != (h, w):
                 res = jax.image.resize(res, (res.shape[0], h, w, 3), "bilinear")
             fetches.submit(_u8_device(res))
-            logger.info("video: dispatched frames %d-%d", i, i + res.shape[0])
+            logger.info(
+                "video: dispatched chunk %d (%d frames)", i, res.shape[0]
+            )
     finally:
         fetches.close()
     return None if sink is not None else outs

@@ -196,3 +196,112 @@ class TestVideoPipeline:
             w.close()
             frames, fps = vid.read_frames(os.path.join(d, "o.mp4"))
             assert len(frames) == 3 and frames[0].shape == (32, 48, 3)
+
+
+class TestStreamingDecode:
+    def test_read_frame_chunks_matches_read_frames(self):
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path, n_frames=7, size=(48, 32))
+            frames, _ = vid.read_frames(in_path)
+            chunks = list(vid.read_frame_chunks(in_path, 3))
+            assert [c.shape[0] for c in chunks] == [3, 3, 1]
+            np.testing.assert_array_equal(
+                np.concatenate(chunks), np.stack(frames)
+            )
+            # rgb=False is cv2-native BGR: channel-reversed
+            bgr = np.concatenate(list(vid.read_frame_chunks(in_path, 4, rgb=False)))
+            np.testing.assert_array_equal(bgr[..., ::-1], np.stack(frames))
+            # max_frames truncates mid-chunk
+            short = list(vid.read_frame_chunks(in_path, 4, max_frames=5))
+            assert [c.shape[0] for c in short] == [4, 1]
+
+    def test_prefetch_order_error_and_close(self):
+        out = list(vid._Prefetch(iter(range(20)), depth=2))
+        assert out == list(range(20))
+
+        def boom():
+            yield 1
+            raise RuntimeError("decode failed")
+
+        p = vid._Prefetch(boom())
+        assert next(p) == 1
+        try:
+            next(p)
+            assert False, "expected RuntimeError"
+        except RuntimeError:
+            pass
+
+        # close() with a full queue and an unfinished generator must not hang
+        released = []
+
+        def slow():
+            try:
+                for i in range(1000):
+                    yield i
+            finally:
+                released.append(True)
+
+        p = vid._Prefetch(slow(), depth=2)
+        assert next(p) == 0
+        p.close()
+        assert not p._t.is_alive()
+        assert released == [True]  # generator finalized -> cap would release
+
+    def test_bgr_fwd_matches_rgb_flipped(self):
+        """Device-side BGR mode must equal the RGB program on flipped
+        channels, bit-for-bit (pure permutation, no math change)."""
+        from tbist_tpu.effects import text_transfer as tt
+
+        g_params, _ = tt.default_params()
+        rgb = (RNG.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+        sv = jnp.asarray(RNG.random((2, 100)).astype(np.float32))
+        cd = tt.compute_dtype()
+        out_rgb = np.asarray(vid._text_fwd_u8_jit(g_params, jnp.asarray(rgb), sv, cd))
+        out_bgr = np.asarray(
+            vid._text_fwd_u8_jit(g_params, jnp.asarray(rgb[..., ::-1]), sv, cd, bgr=True)
+        )
+        np.testing.assert_array_equal(out_bgr[..., ::-1], out_rgb)
+
+    def test_streaming_apply_video_matches_buffered_encode(self):
+        """The public streaming path (decode-ahead -> BGR device program ->
+        streaming encode) must produce an mp4 bit-identical to encoding
+        the buffered _batched_text_transfer outputs directly."""
+        from tbist_tpu.utils.config import TextEffectConfig
+
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path, n_frames=7, size=(48, 32))
+            req = EffectRequest(
+                text=TextEffectConfig(style_prompt="mosaic"),
+                video=VideoConfig(frame_batch=3),
+            )
+            out_path = vid.apply_video(
+                in_path, req, pipe.EffectInputs(),
+                out_path=os.path.join(d, "out.mp4"),
+            )
+            frames, _ = vid.read_frames(in_path)
+            want = vid._batched_text_transfer(frames, req)
+            ref_path = vid.write_video(want, vid.probe_fps(in_path), os.path.join(d, "ref.mp4"))
+            with open(out_path, "rb") as a, open(ref_path, "rb") as b:
+                assert a.read() == b.read()
+
+    def test_streaming_style_path_shapes(self):
+        """Gatys streaming path: chunk peeking + streaming encode."""
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path, n_frames=5, size=(64, 64))
+            req = EffectRequest(
+                style_transfer=True,
+                gatys=GatysConfig(num_steps=2, shape_bucket=32, max_side=64),
+                video=VideoConfig(frame_batch=2),
+            )
+            style = jnp.asarray(RNG.random((1, 64, 64, 3)).astype(np.float32))
+            out_path = vid.apply_video(
+                in_path, req, pipe.EffectInputs(style_image=style),
+                pipe.ModelRegistry(vgg_params=vgg19.init_params(jax.random.key(0))),
+                out_path=os.path.join(d, "out.mp4"),
+            )
+            assert out_path and os.path.exists(out_path)
+            frames, _ = vid.read_frames(out_path)
+            assert len(frames) == 5 and frames[0].shape == (64, 64, 3)
