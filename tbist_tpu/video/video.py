@@ -237,6 +237,45 @@ def cross_dissolve(frames: List[np.ndarray], k: int) -> List[np.ndarray]:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _dissolve_chunk_jit(prev_u8, chunk_u8, k):
+    """Per-chunk cross-dissolve ON DEVICE: for each consecutive pair
+    (prev, c0), (c0, c1), ... emit k lerped frames then the right frame —
+    (B, H, W, C) uint8 -> (B*(k+1), H, W, C) uint8. Same alpha/clip/
+    truncate semantics as ``cross_dissolve`` (reference app.py:820-838);
+    chunking it lets interpolated videos stream with constant host
+    memory, and the lerp itself rides the device instead of the 1-core
+    host."""
+    alphas = jnp.asarray([(i + 1) / (k + 1) for i in range(k)], jnp.float32)
+    prevs = jnp.concatenate([prev_u8, chunk_u8[:-1]], 0).astype(jnp.float32)
+    nxt = chunk_u8.astype(jnp.float32)
+    a = alphas[None, :, None, None, None]
+    interp = prevs[:, None] * (1.0 - a) + nxt[:, None] * a  # (B, k, H, W, C)
+    interp = jnp.clip(interp, 0, 255).astype(jnp.uint8)
+    out = jnp.concatenate([interp, chunk_u8[:, None]], 1)  # (B, k+1, ...)
+    return out.reshape((-1,) + chunk_u8.shape[1:])
+
+
+def _dissolve_step(prev, chunk_u8, k: int, pad: int, first: bool):
+    """One streaming dissolve step over a PADDED uint8 chunk (pads repeat
+    the last real frame, so their lerps are identity frames — sliced off
+    below, keeping ONE compiled dissolve shape for every chunk). Returns
+    (frames to emit, carry frame for the next chunk's boundary pair)."""
+    if first:
+        # no left boundary: self-pairs produce k dup interps before c0 —
+        # slice them (and keep c0) instead of compiling a second shape
+        prev = chunk_u8[:1]
+    out = _dissolve_chunk_jit(prev, chunk_u8, k)
+    if first:
+        out = out[k:]
+    if pad:
+        out = out[: out.shape[0] - pad * (k + 1)]
+        new_prev = chunk_u8[chunk_u8.shape[0] - pad - 1][None]
+    else:
+        new_prev = chunk_u8[-1:]
+    return out, new_prev
+
+
 def _u8_device(x: jnp.ndarray) -> jnp.ndarray:
     """Quantize frames on device before fetching — at fast-text rates
     the f32 fetch, not the model, dominated the loop (PROFILE.md 3e)."""
@@ -341,6 +380,7 @@ def _batched_text_transfer(
     sink=None,
     chunk_iter=None,
     bgr: bool = False,
+    dissolve_k: int = 0,
 ) -> Optional[List[np.ndarray]]:
     """Feed-forward Ghiasi stylization of all frames in dp batches: the
     prompt embeds once, then one jitted forward per frame batch (the
@@ -356,7 +396,9 @@ def _batched_text_transfer(
     ``chunk_iter``: optional iterator of (B<=bsz, H, W, 3) uint8 chunks
     replacing ``frames`` (streaming decode — constant host memory).
     ``bgr``: chunks are cv2-native BGR and emissions stay BGR (the
-    device program flips channels; host does zero cvtColor work)."""
+    device program flips channels; host does zero cvtColor work).
+    ``dissolve_k``: insert k cross-dissolve frames between consecutive
+    output frames, on device per chunk (_dissolve_step)."""
     from tbist_tpu.effects import text_transfer as tt
     from tbist_tpu.models import clip_mlp, ghiasi
     from tbist_tpu.parallel import mesh as mesh_lib
@@ -383,6 +425,7 @@ def _batched_text_transfer(
         # host uint8; upload per chunk, cast on device
         chunk_iter = _iter_chunks(np.stack(frames), bsz)
     fetches = _FetchPipeline(emit)
+    prev = None
     try:  # dispatch is async: the device computes chunk i+1 while the
         # fetch workers drain chunk i and ``emit`` encodes chunk i-1
         for i, raw in enumerate(chunk_iter):
@@ -390,7 +433,9 @@ def _batched_text_transfer(
             chunk = _upload(chunk, mesh)
             sv = jnp.broadcast_to(style, (chunk.shape[0], style.shape[1]))
             res = _text_fwd_u8_jit(g_params, chunk, sv, cd, bgr)
-            if pad:
+            if dissolve_k:
+                res, prev = _dissolve_step(prev, res, dissolve_k, pad, i == 0)
+            elif pad:
                 res = res[:-pad]
             fetches.submit(res)
     finally:
@@ -456,13 +501,14 @@ def apply_video(
     if out_path is None:
         out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
 
-    if (pure_style or pure_text) and not vcfg.interpolation_frames:
+    if pure_style or pure_text:
         # Fully streaming fast path: decode-ahead worker (constant host
         # memory in video length) -> batched device program -> ordered
         # fetch workers -> streaming mp4 encode. cv2 decode/encode both
         # release the GIL, so on the 1-core host they hide inside the
-        # axon link waits. Only without cross-dissolve — interpolation
-        # needs the full frame list. The text path additionally stays in
+        # axon link waits. Cross-dissolve rides the device per chunk
+        # (_dissolve_step carries the boundary frame), so interpolated
+        # videos stream too. The text path additionally stays in
         # cv2-native BGR end-to-end (channels flip on device for free).
         from tbist_tpu.parallel import mesh as mesh_lib
 
@@ -483,12 +529,14 @@ def apply_video(
         try:
             if pure_text:
                 _batched_text_transfer(
-                    None, req, sink=writer, chunk_iter=chunk_iter, bgr=True
+                    None, req, sink=writer, chunk_iter=chunk_iter, bgr=True,
+                    dissolve_k=vcfg.interpolation_frames,
                 )
             else:
                 _batched_style(
                     None, req, inputs, registry,
                     sink=writer, chunk_iter=chunk_iter,
+                    dissolve_k=vcfg.interpolation_frames,
                 )
         finally:
             writer.close()
@@ -500,25 +548,21 @@ def apply_video(
     if not frames:
         return None
 
-    if pure_style:
-        processed = _batched_style(frames, req, inputs, registry)
-    elif pure_text:
-        processed = _batched_text_transfer(frames, req)
-    else:
-        processed = []
-        for i, frame in enumerate(frames):
-            # uint8 up, uint8 back (cast/quantize on device): 4x fewer
-            # bytes each way through the host link (PROFILE.md 3e)
-            x = jnp.asarray(frame)[None].astype(jnp.float32) / 255.0
-            out = pipe.apply_image(x, req, inputs, registry, metrics)
-            if out is None:
-                return None
-            if isinstance(out, jnp.ndarray) and jnp.issubdtype(
-                out.dtype, jnp.floating
-            ):
-                out = _u8_device(out)
-            processed.append(to_uint8(np.asarray(out)))
-            logger.info("video: frame %d/%d done", i + 1, len(frames))
+    # general effect chains: per-frame pipeline, device-resident
+    processed = []
+    for i, frame in enumerate(frames):
+        # uint8 up, uint8 back (cast/quantize on device): 4x fewer
+        # bytes each way through the host link (PROFILE.md 3e)
+        x = jnp.asarray(frame)[None].astype(jnp.float32) / 255.0
+        out = pipe.apply_image(x, req, inputs, registry, metrics)
+        if out is None:
+            return None
+        if isinstance(out, jnp.ndarray) and jnp.issubdtype(
+            out.dtype, jnp.floating
+        ):
+            out = _u8_device(out)
+        processed.append(to_uint8(np.asarray(out)))
+        logger.info("video: frame %d/%d done", i + 1, len(frames))
 
     _note_degraded(req, metrics)
     final = cross_dissolve(processed, vcfg.interpolation_frames)
@@ -542,6 +586,7 @@ def _batched_style(
     registry: Optional[pipe.ModelRegistry],
     sink=None,
     chunk_iter=None,
+    dissolve_k: int = 0,
 ) -> Optional[List[np.ndarray]]:
     """dp-batched Gatys stylization of video frames (parallel.batched).
 
@@ -592,6 +637,7 @@ def _batched_style(
     outs: List[np.ndarray] = []
     emit = sink if sink is not None else (lambda arr: outs.extend(arr))
     fetches = _FetchPipeline(emit)  # see _batched_text_transfer
+    prev = None
     try:
         for i, raw in enumerate(chunk_iter):
             chunk, pad = _pad_chunk(raw, bsz, dp, first=i == 0)
@@ -599,11 +645,14 @@ def _batched_style(
             if (bh, bw) != (h, w):
                 x = jax.image.resize(x, (x.shape[0], bh, bw, 3), "bilinear")
             res = batched.run(cfg, vgg_params, x, (style,))
-            if pad:
-                res = res[:-pad]
             if (bh, bw) != (h, w):
                 res = jax.image.resize(res, (res.shape[0], h, w, 3), "bilinear")
-            fetches.submit(_u8_device(res))
+            res = _u8_device(res)
+            if dissolve_k:
+                res, prev = _dissolve_step(prev, res, dissolve_k, pad, i == 0)
+            elif pad:
+                res = res[:-pad]
+            fetches.submit(res)
             logger.info(
                 "video: dispatched chunk %d (%d frames)", i, res.shape[0]
             )

@@ -305,3 +305,62 @@ class TestStreamingDecode:
             assert out_path and os.path.exists(out_path)
             frames, _ = vid.read_frames(out_path)
             assert len(frames) == 5 and frames[0].shape == (64, 64, 3)
+
+
+class TestStreamingDissolve:
+    def test_dissolve_step_matches_cross_dissolve(self):
+        """Chunked device dissolve (with padding + boundary carry) must
+        emit exactly the frames cross_dissolve produces on the full
+        list."""
+        frames = [
+            (RNG.random((12, 10, 3)) * 255).astype(np.uint8) for _ in range(7)
+        ]
+        k, bsz = 3, 4
+        want = np.stack(vid.cross_dissolve(frames, k))
+
+        got = []
+        prev = None
+        stack = np.stack(frames)
+        for i in range(0, len(frames), bsz):
+            raw = stack[i : i + bsz]
+            chunk, pad = vid._pad_chunk(raw, bsz, dp=1, first=i == 0)
+            out, prev = vid._dissolve_step(
+                jnp.asarray(prev) if prev is not None else None,
+                jnp.asarray(chunk), k, pad, first=i == 0,
+            )
+            got.append(np.asarray(out))
+        got = np.concatenate(got)
+        assert got.shape == want.shape == (7 + 6 * k, 12, 10, 3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_dissolve_step_single_frame(self):
+        f = (RNG.random((8, 8, 3)) * 255).astype(np.uint8)
+        out, _ = vid._dissolve_step(None, jnp.asarray(f[None]), 2, 0, True)
+        np.testing.assert_array_equal(np.asarray(out), f[None])
+
+    def test_streaming_interpolated_video_matches_buffered(self):
+        """apply_video with interpolation_frames set must stream AND be
+        bit-identical to the buffered encode of
+        _batched_text_transfer + cross_dissolve."""
+        from tbist_tpu.utils.config import TextEffectConfig
+
+        with tempfile.TemporaryDirectory() as d:
+            in_path = os.path.join(d, "in.mp4")
+            _write_test_video(in_path, n_frames=5, size=(48, 32))
+            req = EffectRequest(
+                text=TextEffectConfig(style_prompt="mosaic"),
+                video=VideoConfig(frame_batch=2, interpolation_frames=2),
+            )
+            out_path = vid.apply_video(
+                in_path, req, pipe.EffectInputs(),
+                out_path=os.path.join(d, "out.mp4"),
+            )
+            frames, fps = vid.read_frames(in_path)
+            want = vid.cross_dissolve(
+                vid._batched_text_transfer(frames, req), 2
+            )
+            ref_path = vid.write_video(
+                want, fps * 3, os.path.join(d, "ref.mp4")
+            )
+            with open(out_path, "rb") as a, open(ref_path, "rb") as b:
+                assert a.read() == b.read()
