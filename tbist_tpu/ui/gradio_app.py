@@ -222,7 +222,11 @@ def build_demo():
                     palette_img = gr.Image(type="filepath", label="Color palette image")
 
                 with gr.Group(visible=False) as depth_panel:
-                    depth_mode = gr.Radio(DEPTH_EFFECTS, value=DEPTH_EFFECTS[1], label="Depth mode")
+                    # default = "Modified loss Style Transfer", matching
+                    # reference app.py:110 (depth_style_transfer =
+                    # list_of_depth_effects[0]) wired as the radio value
+                    # at app.py:968
+                    depth_mode = gr.Radio(DEPTH_EFFECTS, value=DEPTH_EFFECTS[0], label="Depth mode")
                     mip_n = gr.Slider(2, 10, 2, step=1, label="MIP layers")
                     depth_preview_btn = gr.Button("Preview depth layers")
                     depth_gallery = gr.Gallery(label="Depth split", columns=4)

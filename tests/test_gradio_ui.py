@@ -60,9 +60,11 @@ class TestWidgetParity:
         assert w.choices == gradio_app.MAIN_EFFECTS
         assert demo.find("Text effects").choices == gradio_app.TEXT_EFFECTS
         assert demo.find("Depth mode").choices == gradio_app.DEPTH_EFFECTS
-        # depth mode defaults to MIP (reference app.py:974 value=depth_style_transfer
-        # is the MIP-vs-loss radio; ours defaults to the MIP entry)
-        assert demo.find("Depth mode").value == gradio_app.DEPTH_EFFECTS[1]
+        # depth mode defaults to "Modified loss Style Transfer": reference
+        # app.py:968 sets value=depth_style_transfer, which app.py:110
+        # binds to list_of_depth_effects[0]
+        assert demo.find("Depth mode").value == "Modified loss Style Transfer"
+        assert demo.find("Depth mode").value == gradio_app.DEPTH_EFFECTS[0]
 
     def test_palette_dropdown_covers_all_bundled_palettes(self, demo):
         from tbist_tpu.effects import pixel_art as pa
