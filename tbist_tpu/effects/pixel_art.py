@@ -60,9 +60,13 @@ def _pixel_art_jit(
     edge_detect: bool,
     edge_threshold: int,
 ) -> jnp.ndarray:
-    """image: (1, H, W, 3) float [0,1]; strip: (256, 3) uint8-valued floats."""
+    """image: (B, H, W, 3) float [0,1]; strip: (256, 3) uint8-valued floats.
+
+    Per-IMAGE semantics over the batch (quantization and pixelation are
+    per-pixel; Canny runs vmapped per frame), so the video lane can send a
+    whole frame chunk through one compiled program."""
     h, w = image.shape[1], image.shape[2]
-    img = image[0] * 255.0
+    img = image * 255.0
 
     if use_palette:
         img = palette_ops.quantize_to_palette(img, strip)
@@ -75,11 +79,11 @@ def _pixel_art_jit(
     if edge_detect:
         low = canny_ops.remap_threshold(edge_threshold)
         gray = small @ jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
-        edges = canny_ops.canny(gray, low, low * 2.0)
+        edges = jax.vmap(lambda g: canny_ops.canny(g, low, low * 2.0))(gray)
         edges_big = resize.resize_nearest(edges[..., None], (h, w))[..., 0]
         big = jnp.where(edges_big[..., None] > 0, 0.0, big)
 
-    return jnp.clip(big / 255.0, 0.0, 1.0)[None]
+    return jnp.clip(big / 255.0, 0.0, 1.0)
 
 
 def pixel_art(

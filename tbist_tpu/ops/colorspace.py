@@ -79,10 +79,19 @@ def reinhard_color_transfer(
     src_lab = rgb_to_ruderman(src)
     tgt_lab = rgb_to_ruderman(tgt)
 
-    axes = tuple(range(src_lab.ndim - 1))
+    # source statistics are per-IMAGE: a batched (B, H, W, 3) source
+    # matches B independent transfers exactly (the video lane sends whole
+    # frame chunks through one program), and at B=1 this reduces over the
+    # same elements as an all-axes reduction. The target is a single
+    # reference image, so its stats stay pooled over every pixel.
+    if src_lab.ndim >= 4:
+        axes = tuple(range(1, src_lab.ndim - 1))
+        n_src = np.prod(src_lab.shape[1:-1])
+    else:
+        axes = tuple(range(src_lab.ndim - 1))
+        n_src = np.prod(src_lab.shape[:-1])
     src_mean = jnp.mean(src_lab, axis=axes, keepdims=True)
     # torch .std() is the unbiased (ddof=1) estimator
-    n_src = np.prod(src_lab.shape[:-1])
     n_tgt = np.prod(tgt_lab.shape[:-1])
     src_std = jnp.std(src_lab, axis=axes, keepdims=True) * jnp.sqrt(
         n_src / max(n_src - 1, 1)

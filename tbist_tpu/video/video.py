@@ -4,12 +4,14 @@ Reference: app.py:742-864 — a strictly sequential per-frame Python loop
 that writes every frame to a temp JPG, re-reads it, runs the image
 pipeline, then optionally inserts cross-dissolve frames and adjusts fps.
 
-TPU-native design: frames stay in memory (no JPG round-trip), move to
-device once, and batch over the ``dp`` mesh axis. Pure style-transfer
-requests take the fast path (parallel.batched: one jitted train step for
-the whole frame batch); arbitrary effect chains fall back to the per-frame
-pipeline (still device-resident per frame). Cross-dissolve interpolation
-is one vectorized lerp on device.
+TPU-native design: EVERY path streams with constant host memory in video
+length — decode-ahead chunks, device programs, on-device per-chunk
+cross-dissolve, ordered fetch workers, streaming mp4 encode. Pure
+style/text/mixing requests batch frames over the ``dp`` mesh axis
+(parallel.batched / the Ghiasi forward); batch-safe simple chains
+(grayscale / pixel art / palette) send whole chunks through one
+``apply_image`` program; chains with per-frame host stages (text masks,
+depth) run frame-at-a-time, still streaming.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import numpy as np
 
 from tbist_tpu.compose import pipeline as pipe
 from tbist_tpu.utils.config import EffectRequest
-from tbist_tpu.utils.imageio import bucket_shape, to_uint8
+from tbist_tpu.utils.imageio import bucket_shape
 from tbist_tpu.utils.logging import RunMetrics, logger
 
 
@@ -385,6 +387,29 @@ def _is_pure_text_transfer_request(req: EffectRequest) -> bool:
     )
 
 
+def _is_batchable_chain(req: EffectRequest) -> bool:
+    """Chains whose every stage is a per-image device program with no
+    per-frame host work: grayscale / pixel art / color palette, in any
+    combination, with no text masks. A whole (B, H, W, 3) frame chunk
+    flows through ONE ``apply_image`` call — per-image semantics hold
+    because reinhard stats reduce per image and pixel-art quantization /
+    Canny are per-frame (vmapped) over the batch."""
+    return (
+        req.text is None
+        and not req.style_transfer
+        and not req.style_mixing
+        and req.depth is None
+    )
+
+
+def _u8_chunk(out: jnp.ndarray) -> jnp.ndarray:
+    """Device-quantize a pipeline output chunk to uint8 for the fetch
+    pipeline (float outputs; integer outputs pass through)."""
+    if jnp.issubdtype(out.dtype, jnp.floating):
+        return _u8_device(out)
+    return jnp.asarray(out)
+
+
 def _iter_chunks(stack: np.ndarray, bsz: int):
     for i in range(0, stack.shape[0], bsz):
         yield stack[i : i + bsz]
@@ -567,29 +592,82 @@ def apply_video(
         _note_degraded(req, metrics)
         return out_path
 
-    frames, _ = read_frames(video_path, max_frames)
-    if not frames:
+    # General effect chains: STREAMING too — decode-ahead chunks (constant
+    # host memory in video length, same contract as the fast paths) ->
+    # device programs -> on-device per-chunk cross-dissolve -> ordered
+    # fetch workers -> streaming encode. Batch-safe chains (grayscale /
+    # pixel art / color palette; _is_batchable_chain) send the whole
+    # (B, H, W, 3) chunk through ONE apply_image program with per-image
+    # semantics; chains with per-frame host stages (text masks, Gatys,
+    # depth) run frame-at-a-time but still stream. Replaces the old
+    # full-video read_frames buffer (the reference buffers per-frame temp
+    # JPGs, app.py:784-815).
+    batchable = _is_batchable_chain(req)
+    k = vcfg.interpolation_frames
+    bsz = max(1, vcfg.frame_batch)
+    chunks = _Prefetch(read_frame_chunks(video_path, bsz, max_frames))
+    first = next(chunks, None)
+    if first is None:
+        chunks.close()
         return None
+    import itertools
 
-    # general effect chains: per-frame pipeline, device-resident
-    processed = []
-    for i, frame in enumerate(frames):
-        # uint8 up, uint8 back (cast/quantize on device): 4x fewer
-        # bytes each way through the host link (PROFILE.md 3e)
-        x = jnp.asarray(frame)[None].astype(jnp.float32) / 255.0
-        out = pipe.apply_image(x, req, inputs, registry, metrics)
-        if out is None:
-            return None
-        if isinstance(out, jnp.ndarray) and jnp.issubdtype(
-            out.dtype, jnp.floating
-        ):
-            out = _u8_device(out)
-        processed.append(to_uint8(np.asarray(out)))
-        logger.info("video: frame %d/%d done", i + 1, len(frames))
+    chunk_iter = itertools.chain([first], chunks)
+    writer = _StreamWriter(out_path, new_fps)
+    fetches = _FetchPipeline(writer)
+    done = False
+    prev = None
+    try:
+        for i, raw in enumerate(chunk_iter):
+            pad = 0
+            if batchable:
+                # pad the host chunk (repeat last frame) so every chunk
+                # compiles ONE chain program shape — a short tail chunk
+                # would otherwise recompile the whole chain on axon
+                raw, pad = _pad_chunk(raw, bsz, 1, first=i == 0)
+                x = jnp.asarray(raw).astype(jnp.float32) / 255.0
+                out = pipe.apply_image(x, req, inputs, registry, metrics)
+                if out is None:
+                    return None
+                res = _u8_chunk(out)
+            else:
+                outs_dev = []
+                for f in raw:
+                    x = jnp.asarray(f)[None].astype(jnp.float32) / 255.0
+                    out = pipe.apply_image(x, req, inputs, registry, metrics)
+                    if out is None:
+                        return None
+                    outs_dev.append(_u8_chunk(out))
+                res = (
+                    jnp.concatenate(outs_dev, 0)
+                    if len(outs_dev) > 1
+                    else outs_dev[0]
+                )
+                if k and i > 0 and res.shape[0] < bsz:
+                    # pad the RESULT on device (dup last frame) so the
+                    # dissolve keeps one compiled shape; per-frame chain
+                    # programs are (1, H, W, 3) regardless, so unlike the
+                    # batchable path nothing is wasted processing pads
+                    pad = bsz - res.shape[0]
+                    res = jnp.concatenate(
+                        [res, jnp.repeat(res[-1:], pad, 0)], 0
+                    )
+            if k:
+                res, prev = _dissolve_step(prev, res, k, pad, i == 0)
+            elif pad:
+                res = res[: res.shape[0] - pad]
+            fetches.submit(res)
+            logger.info("video: dispatched chunk %d (%d frames)", i, res.shape[0])
+        done = True
+    finally:
+        fetches.close()
+        writer.close()
+        chunks.close()
+        if not done and os.path.exists(out_path):
+            os.remove(out_path)  # never leave a partial mp4 behind
 
     _note_degraded(req, metrics)
-    final = cross_dissolve(processed, vcfg.interpolation_frames)
-    return write_video(final, new_fps, out_path)
+    return out_path
 
 
 def _note_degraded(req: EffectRequest, metrics: Optional[RunMetrics]) -> None:
