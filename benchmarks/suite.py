@@ -249,7 +249,6 @@ def _measure(
     # encode. Unlike 4/4b (batched.run device time), this includes the
     # host link — the axon fetch is the bottleneck this path optimizes.
     if not mask and not batch:
-        import os
         import tempfile
 
         import cv2
@@ -372,7 +371,6 @@ def _measure(
     # video_mixing_frames_per_sec number, which benched batched.run on a
     # path no public request could reach.
     if not mask and not text:
-        import os
         import tempfile
 
         import cv2
@@ -538,6 +536,71 @@ def _measure(
 
         dt = _timeit(text_chain, warmup=1, iters=3)
         results["e2e_text_chain_s"] = dt
+
+        # 8b. masked-text VIDEO e2e through the PUBLIC apply_video (the
+        # batched masked-text lane, video/video.py:_batched_masked_text):
+        # per chunk ONE batched Ghiasi + ONE batched DINO + ONE batched
+        # SAM-encode program + a vmapped decode + device composite — vs
+        # the reference's per-frame TextMaskExtractor+transfer loop
+        # (app.py:784-815). Seeded weights drive the REAL programs; as in
+        # 3b a forced box per frame replaces thresholding so seeded
+        # logits stay deterministic (compute identical to the
+        # weights-loaded path).
+        import tempfile
+
+        import cv2
+
+        from tbist_tpu.compose import pipeline as pipe_lib
+        from tbist_tpu.utils.config import (
+            EffectRequest, TextEffectConfig, VideoConfig,
+        )
+        from tbist_tpu.video import video as vid_lib
+
+        def batch_extractor(frames, prompt):
+            frames_dev = dino_sam._device_uint8(frames)
+            b, h, w = frames_dev.shape[:3]
+            _, pending = dino_sam._detect_dispatch_batch(
+                dino_params, frames_dev, prompt + ".", vocab
+            )
+            embs, scale, snh, snw = sam_lib.encode_uint8_batch(
+                sam_params, sam_lib.BASE, frames_dev
+            )
+            np.asarray(pending["pred_boxes"])  # host sync as production
+            fboxes = np.tile(
+                np.asarray([[[60.0, 60.0, 200.0, 220.0]]], np.float32),
+                (b, 1, 1),
+            )
+            return sam_lib.masks_from_embedding_batch(
+                sam_params, sam_lib.BASE, embs, scale, snh, snw, h, w,
+                fboxes, np.ones((b, 1), bool),
+            )
+
+        nframes = 16
+        with tempfile.TemporaryDirectory() as tmp:
+            in_path = os.path.join(tmp, "in.mp4")
+            wr = cv2.VideoWriter(
+                in_path, cv2.VideoWriter_fourcc(*"mp4v"), 8.0, (256, 256)
+            )
+            for _ in range(nframes):
+                wr.write(rng.integers(0, 255, (256, 256, 3), np.uint8))
+            wr.release()
+            mreq = EffectRequest(
+                text=TextEffectConfig(
+                    style_prompt="starry night", location_prompt="boat"
+                ),
+                video=VideoConfig(frame_batch=8),
+            )
+            mreg = pipe_lib.ModelRegistry(batch_mask_extractor=batch_extractor)
+
+            def masked_video_e2e():
+                return vid_lib.apply_video(
+                    in_path, mreq, pipe_lib.EffectInputs(), mreg,
+                    out_path=os.path.join(tmp, "out.mp4"),
+                )
+
+            dt = _timeit(masked_video_e2e, warmup=1, iters=2)
+            results["video_e2e_masked_text_256px_fps"] = nframes / dt
+
         del dino_params, sam_params
         dino_sam.clear_text_feature_cache()  # release pinned HBM
 

@@ -40,6 +40,10 @@ class ModelRegistry:
     # extractor host uint8 so uploads stay uint8 (CLAUDE.md transfer
     # rule); injected extractors must accept both forms (the builtins do)
     mask_extractor: Optional[Callable] = None
+    # (frames (B, H, W, 3) uint8, prompt) -> (B, H, W) bool masks — the
+    # masked-text VIDEO lane's chunk extractor (one DINO + one SAM
+    # program per chunk); lazily masking.default_batch_mask_extractor
+    batch_mask_extractor: Optional[Callable] = None
     # (prompt) -> (He, We) bool stencil
     emoji_extractor: Optional[Callable] = None
     # (image NHWC) -> (H, W) float depth
@@ -69,6 +73,10 @@ class ModelRegistry:
                 from tbist_tpu.effects import masking
 
                 self.mask_extractor = masking.default_mask_extractor()
+            elif name == "batch_mask_extractor":
+                from tbist_tpu.effects import masking
+
+                self.batch_mask_extractor = masking.default_batch_mask_extractor()
             elif name == "emoji_extractor":
                 from tbist_tpu.effects import masking
 

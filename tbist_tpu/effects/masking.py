@@ -125,6 +125,36 @@ def default_mask_extractor() -> Callable:
 
 
 @functools.lru_cache(maxsize=1)
+def default_batch_mask_extractor() -> Callable:
+    """(B, H, W, 3) uint8 frames + ONE prompt -> (B, H, W) bool masks.
+
+    Real DINO+SAM when checkpoints exist: one detection + one
+    segmentation program per frame chunk (models.dino_sam
+    .extract_masks_batch — the masked-text video lane's extractor).
+    Otherwise the per-frame fallback, stacked on host."""
+    try:
+        from tbist_tpu.models import dino_sam
+
+        return dino_sam.get_batch_mask_extractor()
+    except Exception:
+        from tbist_tpu.utils import degraded
+
+        degraded.mark("mask_extractor", "mask_fallback")
+        logger.warning(
+            "batch mask extractor: no GroundingDINO/SAM weights — using "
+            "border-prior fallback segmentation per frame"
+        )
+
+        def batch_fallback(frames, prompt: str) -> jnp.ndarray:
+            arr = np.asarray(frames)  # device chunks fetch once here
+            return jnp.stack(
+                [_fallback_location_mask(f, prompt) for f in arr]
+            )
+
+        return batch_fallback
+
+
+@functools.lru_cache(maxsize=1)
 def default_emoji_extractor() -> Callable:
     try:
         from tbist_tpu.models import t5_emoji

@@ -421,6 +421,99 @@ def detect(
     return _detect_collect(ids, out, vocab)
 
 
+def _detect_dispatch_batch(
+    dino_params, frames_dev: jnp.ndarray, prompt: str, vocab: dict,
+    cfg=None, swin_cfg=None, bert_cfg=None, det_hw=None,
+):
+    """Queue ONE GroundingDINO forward over a (B, H, W, 3) uint8 frame
+    chunk. The prompt's BERT text features compute once (prompt cache)
+    and tile over the batch — per-frame outputs are bit-exact vs the
+    single-image program. Returns (ids, async outputs) without blocking,
+    like _detect_dispatch."""
+    cfg = cfg or dino_lib.BASE
+    if not prompt.endswith("."):
+        prompt = prompt + "."
+    ids, input_ids, text_mask, text_feats = _text_features(
+        dino_params, prompt, vocab, cfg=cfg, bert_cfg=bert_cfg
+    )
+    b, h, w = frames_dev.shape[:3]
+    nh, nw = det_hw or _detection_size(h, w)
+    x = frames_dev.astype(jnp.float32) / 255.0
+    x = jax.image.resize(x, (b, nh, nw, 3), "bilinear")
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    out = _dino_jit(
+        dino_params, cfg, x,
+        jnp.tile(input_ids, (b, 1)), jnp.tile(text_mask, (b, 1)),
+        jnp.tile(text_feats, (b, 1, 1)),
+        swin_cfg=swin_cfg, bert_cfg=bert_cfg,
+    )
+    return ids, out
+
+
+def extract_masks_batch(
+    dino_params, sam_params, frames, prompt: str,
+    sam_cfg=None, vocab=None, **cfg_kw,
+) -> jnp.ndarray:
+    """Batched TextMaskExtractor: (B, H, W, 3) uint8 frames + ONE prompt
+    -> DEVICE (B, H, W) bool masks.
+
+    The masked-text VIDEO chain (reference: text/TextMaskExtractor.py:25-68
+    executed per frame inside app.py:784-815) as three device programs per
+    chunk instead of 3·B serial dispatches: one DINO forward over the
+    chunk, one SAM image-encoder over the chunk (queued before the host
+    blocks on DINO, same overlap as extract_mask), and one vmapped SAM
+    decode where each frame's variable box count is padded to a shared K
+    (bucketed to a power of two to bound compiles; padded boxes masked
+    out). Host work per chunk is thresholding the small (B, 900, T)
+    logits. Per-frame semantics match extract_mask: zero detections ->
+    all-False mask."""
+    sam_cfg = sam_cfg or sam_lib.BASE
+    vocab = vocab or _load_vocab()
+    frames_dev = _device_uint8(frames)
+    b, h, w = frames_dev.shape[:3]
+    ids, pending = _detect_dispatch_batch(
+        dino_params, frames_dev, prompt, vocab, **cfg_kw
+    )
+    embs, scale, nh, nw = sam_lib.encode_uint8_batch(
+        sam_params, sam_cfg, frames_dev
+    )
+    logits = np.asarray(jax.nn.sigmoid(pending["pred_logits"]))  # (B, 900, T)
+    pboxes = np.asarray(pending["pred_boxes"])
+    inv = _inv_vocab(vocab)
+    per_frame = []
+    nmax = 0
+    for i in range(b):
+        keep = logits[i].max(axis=1) > BOX_THRESHOLD
+        keep2, _ = filter_phrases(logits[i][keep], ids, inv)
+        bx = _boxes_to_xyxy(pboxes[i][keep][keep2], h, w)
+        per_frame.append(bx)
+        nmax = max(nmax, bx.shape[0])
+    if nmax == 0:
+        return jnp.zeros((b, h, w), bool)
+    k = 1 << (nmax - 1).bit_length()
+    boxes = np.zeros((b, k, 4), np.float32)
+    valid = np.zeros((b, k), bool)
+    for i, bx in enumerate(per_frame):
+        boxes[i, : bx.shape[0]] = bx
+        valid[i, : bx.shape[0]] = True
+    return sam_lib.masks_from_embedding_batch(
+        sam_params, sam_cfg, embs, scale, nh, nw, h, w, boxes, valid
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def get_batch_mask_extractor() -> Callable:
+    """Batch variant of get_mask_extractor: (B, H, W, 3) uint8 frames +
+    prompt -> DEVICE (B, H, W) bool masks. Raises like get_mask_extractor
+    when checkpoints are missing (effects.masking falls back)."""
+    dino_params, sam_params = get_loaded_params()
+
+    def extractor(frames, prompt: str) -> jnp.ndarray:
+        return extract_masks_batch(dino_params, sam_params, frames, prompt)
+
+    return extractor
+
+
 def _boxes_to_xyxy(boxes: np.ndarray, h: int, w: int) -> np.ndarray:
     """cxcywh [0,1] -> xyxy pixels (TextMaskExtractor.py:55-59)."""
     scale = np.array([w, h, w, h], np.float32)
@@ -467,7 +560,10 @@ def extract_mask(
 
 
 @functools.lru_cache(maxsize=1)
-def get_mask_extractor() -> Callable:
+def get_loaded_params() -> Tuple:
+    """(dino_params, sam_params) from the checkpoint cache; raises if
+    either checkpoint (or the BERT vocab) is missing. One process-wide
+    params pair shared by the single and batch extractors."""
     dino_path = os.environ.get(
         "TBIST_DINO_PTH", os.path.join(_CACHE_DIR, "groundingdino_swint_ogc.pth")
     )
@@ -483,6 +579,12 @@ def get_mask_extractor() -> Callable:
     dino_params = dino_convert.convert({k: v.numpy() for k, v in sd.items()})
     logger.info("GroundingDINO: converted checkpoint from %s", dino_path)
     sam_params = sam_lib.get_loaded_params()  # raises if SAM missing
+    return dino_params, sam_params
+
+
+@functools.lru_cache(maxsize=1)
+def get_mask_extractor() -> Callable:
+    dino_params, sam_params = get_loaded_params()
 
     def extractor(image, prompt: str) -> jnp.ndarray:
         arr = np.asarray(image)

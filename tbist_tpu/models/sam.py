@@ -372,6 +372,58 @@ def encode_uint8(params, cfg: SamConfig, image) -> Tuple:
     return _encode_jit(params, cfg, x), scale, nh, nw
 
 
+def encode_uint8_batch(params, cfg: SamConfig, frames) -> Tuple:
+    """Batched ``encode_uint8``: (B, H, W, 3) uint8 (host or device) ->
+    (embs (B, 64, 64, 256) async, scale, nh, nw).
+
+    ONE image-encoder program for a whole frame chunk — the masked-text
+    video lane's segmentation stage (the reference runs
+    SamPredictor.set_image per frame, text/TextMaskExtractor.py:45-50).
+    Per-frame outputs are bit-identical to the single-image program.
+    """
+    h, w = frames.shape[1:3]
+    scale = cfg.img_size / max(h, w)
+    nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+    if not isinstance(frames, jnp.ndarray):
+        frames = jnp.asarray(np.ascontiguousarray(frames))
+    x = frames.astype(jnp.float32)
+    x = jax.image.resize(x, (x.shape[0], nh, nw, 3), "bilinear")
+    x = (x - PIXEL_MEAN) / PIXEL_STD
+    x = jnp.pad(x, ((0, 0), (0, cfg.img_size - nh), (0, cfg.img_size - nw), (0, 0)))
+    return _encode_jit(params, cfg, x), scale, nh, nw
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nh", "nw", "h", "w"))
+def _masks_batch_jit(params, cfg: SamConfig, embs, boxes01, valid, nh, nw, h, w):
+    # (B, K, 256, 256) mask logits: the prompt decoder vmapped per frame
+    logits = jax.vmap(lambda e, bx: decode_masks(params, cfg, e[None], bx))(
+        embs, boxes01
+    )
+    b, k = logits.shape[:2]
+    flat = logits.reshape(b * k, *logits.shape[2:])
+    up = jax.image.resize(flat, (b * k, cfg.img_size, cfg.img_size), "bilinear")
+    up = up[:, :nh, :nw]
+    full = jax.image.resize(up, (b * k, h, w), "bilinear")
+    m = (full > 0.0).reshape(b, k, h, w) & valid[:, :, None, None]
+    return jnp.any(m, axis=1)
+
+
+def masks_from_embedding_batch(
+    params, cfg: SamConfig, embs, scale, nh, nw, h, w, boxes_xyxy, valid
+) -> jnp.ndarray:
+    """Batched ``masks_from_embedding``: (B, K, 4) pixel-xyxy boxes (padded
+    per frame; ``valid`` (B, K) marks the real ones) against (B, ...)
+    embeddings -> DEVICE (B, H, W) bool (not fetched — the video lane
+    composites on device). Per frame this matches masks_from_embedding's
+    sum(0) > 0 union; padded boxes are masked out, and a frame with zero
+    valid boxes yields all-False (TextMaskExtractor.py:52-53 semantics)."""
+    boxes = np.asarray(boxes_xyxy, np.float32) * scale
+    boxes01 = jnp.asarray((boxes + 0.5) / cfg.img_size)
+    return _masks_batch_jit(
+        params, cfg, embs, boxes01, jnp.asarray(valid), nh, nw, h, w
+    )
+
+
 def masks_from_embedding(
     params, cfg: SamConfig, emb, scale, nh, nw, h, w, boxes_xyxy
 ) -> np.ndarray:

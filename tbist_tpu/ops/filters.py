@@ -67,6 +67,14 @@ def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray
     )
 
 
+def blur_masks(masks: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Batched ``blur_mask``: (B, H, W) -> (B, H, W), per-frame identical
+    (the separable blur convs are already batched over N)."""
+    m = masks.astype(jnp.float32)[..., None]
+    out = gaussian_blur(m, ksize)[..., 0]
+    return jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0) / 255.0
+
+
 def blur_mask(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
     """Gaussian-feather a 2-D {0,1} mask -> float [0,1] (H, W).
 

@@ -165,6 +165,48 @@ def _grid_accumulate(acc, padded, em, rows, cols, kh, kw, sh, sw):
     return acc
 
 
+def composite_by_masks_batch(
+    content: jnp.ndarray,
+    style: jnp.ndarray,
+    masks: jnp.ndarray,
+    edge_smoothing: int = 5,
+) -> jnp.ndarray:
+    """Batched ``composite_by_mask``: (B, H, W, C) content/style with a
+    per-frame (B, H, W) mask — the masked-text video lane composites a
+    whole chunk in one program. All shapes must already match (the lane
+    styles each frame at its own shape, so no center-crop reconciliation
+    is needed); per-frame results equal composite_by_mask."""
+    from tbist_tpu.ops.filters import blur_masks
+
+    if edge_smoothing:
+        m = blur_masks(masks, int(edge_smoothing))[..., None]
+        return content * (1.0 - m) + style * m
+    sel = masks.astype(bool)[..., None]
+    return jnp.where(sel, style, content)
+
+
+def emoji_composite_batch(
+    content: jnp.ndarray,
+    style: jnp.ndarray,
+    seg_masks: jnp.ndarray,
+    emoji_mask: jnp.ndarray,
+    blur_strength: int = 95,
+    step_size_multiplier: float = 0.5,
+    style_strength: float = 2.0,
+) -> jnp.ndarray:
+    """Batched ``emoji_composite`` with per-frame (B, H, W) segmentation
+    masks and one shared emoji stencil: the 6-scale×4-anchor merge runs
+    vmapped per frame, the blend in one fused op."""
+    merged = jax.vmap(
+        lambda s: merge_content_style_masks(
+            s, emoji_mask, int(blur_strength), float(step_size_multiplier)
+        )
+    )(seg_masks)
+    # style_strength may be a traced scalar (jitted video-lane composite)
+    merged = jnp.clip(merged * style_strength, 0.0, 1.0)[..., None]
+    return content * (1.0 - merged) + style * merged
+
+
 def emoji_composite(
     content: jnp.ndarray,
     style: jnp.ndarray,

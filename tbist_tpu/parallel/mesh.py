@@ -60,6 +60,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DP_AXIS, None, SP_AXIS, None))
 
 
+def mask_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W) mask batch: batch over dp (the masked-text video lane's
+    per-frame location masks)."""
+    return NamedSharding(mesh, P(DP_AXIS, None, SP_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

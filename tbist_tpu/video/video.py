@@ -372,6 +372,31 @@ def _is_pure_mixing_request(req: EffectRequest) -> bool:
     )
 
 
+def _is_pure_masked_text_request(req: EffectRequest) -> bool:
+    """Masked text transfer (style prompt + location and/or texture mask)
+    with no other stages: the batched masked-text lane handles it — one
+    Ghiasi program + one DINO + one SAM program per frame chunk instead
+    of the reference's per-frame TextMaskExtractor + transfer loop
+    (text/TextMaskExtractor.py:25-68 inside app.py:784-815). Non-default
+    mask preprocess options (crop/square/resize) are per-frame host work
+    and stay on the general path."""
+    t = req.text
+    return (
+        t is not None
+        and bool(t.style_prompt)
+        and (bool(t.location_prompt) or bool(t.texture_prompt))
+        and tuple(t.mask_crop) == (0, 0, 0, 0)
+        and not t.mask_square
+        and not tuple(t.mask_resize)
+        and not req.grayscale
+        and req.pixel_art is None
+        and not req.style_transfer
+        and not req.style_mixing
+        and not req.color_palette
+        and req.depth is None
+    )
+
+
 def _is_pure_text_transfer_request(req: EffectRequest) -> bool:
     return (
         req.text is not None
@@ -484,6 +509,149 @@ def _batched_text_transfer(
     return None if sink is not None else outs
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _text_fwd_f32_jit(g_params, chunk_u8, style_v, dtype):
+    """uint8 frames -> Ghiasi styled f32 (the masked lane composites
+    before quantizing, so unlike _text_fwd_u8_jit this stays float)."""
+    from tbist_tpu.models import ghiasi
+
+    x = chunk_u8.astype(jnp.float32) / 255.0
+    return ghiasi.apply(g_params, x, style_v, compute_dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("edge",))
+def _composite_loc_u8_jit(chunk_u8, styled, masks, edge):
+    from tbist_tpu.ops import masks as mask_ops
+
+    x = chunk_u8.astype(jnp.float32) / 255.0
+    out = mask_ops.composite_by_masks_batch(x, styled, masks, edge)
+    return _u8_device(out)
+
+
+@functools.partial(jax.jit, static_argnames=("blur", "step"))
+def _composite_emoji_u8_jit(chunk_u8, styled, seg_masks, emoji, blur, step, strength):
+    from tbist_tpu.ops import masks as mask_ops
+
+    x = chunk_u8.astype(jnp.float32) / 255.0
+    out = mask_ops.emoji_composite_batch(
+        x, styled, seg_masks, emoji, blur, step, strength
+    )
+    return _u8_device(out)
+
+
+@jax.jit
+def _composite_shared_u8_jit(chunk_u8, styled, m):
+    x = chunk_u8.astype(jnp.float32) / 255.0
+    return _u8_device(x * (1.0 - m) + styled * m)
+
+
+def _batched_masked_text(
+    req: EffectRequest,
+    registry: Optional[pipe.ModelRegistry],
+    sink=None,
+    chunk_iter=None,
+    dissolve_k: int = 0,
+) -> Optional[List[np.ndarray]]:
+    """Masked text-transfer over video frames, chunk-batched end to end.
+
+    Per (B, H, W, 3) chunk: ONE Ghiasi program styles all frames, ONE
+    GroundingDINO + ONE SAM program extract all B location masks
+    (models.dino_sam.extract_masks_batch — text features computed once
+    per prompt), and the composite runs batched on device. The reference
+    runs the whole TextMaskExtractor + transfer chain serially per frame
+    (text/TextMaskExtractor.py:25-68 inside app.py:784-815). With a
+    texture prompt but NO location prompt the merged emoji mask is
+    frame-independent (seg mask = all-ones), so it computes once and
+    broadcasts. Frames shard over the production dp mesh like the other
+    lanes; model params replicate."""
+    from tbist_tpu.effects import masking as masking_fx
+    from tbist_tpu.effects import text_transfer as tt
+    from tbist_tpu.models import clip_mlp, clip_text
+    from tbist_tpu.ops import masks as mask_ops
+    from tbist_tpu.parallel import mesh as mesh_lib
+
+    tcfg = req.text
+    g_params, m_params = tt.default_params()
+    emb = tt._pooled_embedding(tcfg.style_prompt, clip_text.get_default_encoder())
+    style = clip_mlp.apply(m_params, emb)
+    cd = tt.compute_dtype()
+    has_l, has_x = bool(tcfg.location_prompt), bool(tcfg.texture_prompt)
+
+    registry = registry or pipe.ModelRegistry()
+    extract = None
+    if has_l:
+        registry.ensure("batch_mask_extractor")
+        extract = registry.batch_mask_extractor
+    emoji = None
+    if has_x:
+        registry.ensure("emoji_extractor")
+        emoji = jnp.asarray(registry.emoji_extractor(tcfg.texture_prompt))
+
+    mesh = mesh_lib.production_mesh(dp_only=True)
+    dp = mesh.shape[mesh_lib.DP_AXIS] if mesh is not None else 1
+    if mesh is not None:
+        g_params = jax.device_put(g_params, mesh_lib.replicated(mesh))
+        style = jax.device_put(style, mesh_lib.replicated(mesh))
+        if emoji is not None:
+            emoji = jax.device_put(emoji, mesh_lib.replicated(mesh))
+        logger.info("video: masked-text lane sharding over dp=%d", dp)
+
+    bsz = _chunk_size(req.video.frame_batch, dp)
+    outs: List[np.ndarray] = []
+    emit = sink if sink is not None else (lambda arr: outs.extend(arr))
+    fetches = _FetchPipeline(emit)
+    prev = None
+    shared_m = None
+    try:
+        for i, raw in enumerate(chunk_iter):
+            chunk, pad = _pad_chunk(raw, bsz, dp, first=i == 0)
+            chunk_dev = _upload(chunk, mesh)
+            sv = jnp.broadcast_to(style, (chunk_dev.shape[0], style.shape[1]))
+            # dispatch the image-only styling FIRST: the device runs it
+            # while extract() blocks the host on DINO's logits
+            styled = _text_fwd_f32_jit(g_params, chunk_dev, sv, cd)
+            if has_l:
+                masks = jnp.asarray(extract(chunk_dev, tcfg.location_prompt))
+                if mesh is not None:
+                    masks = jax.device_put(masks, mesh_lib.mask_sharding(mesh))
+                if has_x:
+                    res = _composite_emoji_u8_jit(
+                        chunk_dev, styled, masks, emoji,
+                        int(tcfg.emoji_blur_strength),
+                        float(tcfg.emoji_step_size),
+                        tcfg.emoji_style_strength,
+                    )
+                else:
+                    res = _composite_loc_u8_jit(
+                        chunk_dev, styled, masks, int(tcfg.edge_smoothing)
+                    )
+            else:
+                if shared_m is None:
+                    h, w = chunk_dev.shape[1:3]
+                    merged = mask_ops.merge_content_style_masks(
+                        jnp.ones((h, w), bool), emoji,
+                        int(tcfg.emoji_blur_strength),
+                        float(tcfg.emoji_step_size),
+                    )
+                    shared_m = jnp.clip(
+                        merged * tcfg.emoji_style_strength, 0.0, 1.0
+                    )[None, ..., None]
+                    if mesh is not None:
+                        shared_m = jax.device_put(
+                            shared_m, mesh_lib.replicated(mesh)
+                        )
+                res = _composite_shared_u8_jit(chunk_dev, styled, shared_m)
+            if dissolve_k:
+                res, prev = _dissolve_step(prev, res, dissolve_k, pad, i == 0)
+            elif pad:
+                res = res[:-pad]
+            fetches.submit(res)
+            logger.info("video: masked-text chunk %d dispatched", i)
+    finally:
+        fetches.close()
+    return None if sink is not None else outs
+
+
 def _chunk_size(frame_batch: int, dp: int) -> int:
     """Frame-chunk size: at least one frame per dp shard, rounded UP to a
     dp multiple so every padded chunk tiles evenly over the mesh (a bsz
@@ -531,6 +699,7 @@ def apply_video(
 
     pure_style = _is_pure_style_request(req) and inputs.style_image is not None
     pure_text = _is_pure_text_transfer_request(req)
+    pure_masked_text = _is_pure_masked_text_request(req)
     mix_styles = tuple(
         s for s in (inputs.style_image1, inputs.style_image2) if s is not None
     )
@@ -546,7 +715,7 @@ def apply_video(
     if out_path is None:
         out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
 
-    if pure_style or pure_text or pure_mixing:
+    if pure_style or pure_text or pure_mixing or pure_masked_text:
         # Fully streaming fast path: decode-ahead worker (constant host
         # memory in video length) -> batched device program -> ordered
         # fetch workers -> streaming mp4 encode. cv2 decode/encode both
@@ -577,6 +746,11 @@ def apply_video(
             if pure_text:
                 _batched_text_transfer(
                     None, req, sink=writer, chunk_iter=chunk_iter, bgr=True,
+                    dissolve_k=vcfg.interpolation_frames,
+                )
+            elif pure_masked_text:
+                _batched_masked_text(
+                    req, registry, sink=writer, chunk_iter=chunk_iter,
                     dissolve_k=vcfg.interpolation_frames,
                 )
             else:

@@ -136,3 +136,55 @@ class TestEmojiMerge:
         )
         assert out.min() >= 0.0 and out.max() <= 1.0
         assert out.std() > 0.01  # actual texture, not constant
+
+
+class TestBatchedComposites:
+    """Batched composites (the masked-text video lane) must equal the
+    single-image ops per frame."""
+
+    def test_composite_by_masks_batch_matches_single(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        c = jnp.asarray(rng.random((3, 24, 20, 3)).astype(np.float32))
+        s = jnp.asarray(rng.random((3, 24, 20, 3)).astype(np.float32))
+        m = jnp.asarray(rng.random((3, 24, 20)) > 0.5)
+        for edge in (0, 5):
+            batch = masks.composite_by_masks_batch(c, s, m, edge)
+            for i in range(3):
+                single = masks.composite_by_mask(
+                    c[i : i + 1], s[i : i + 1], m[i], edge
+                )
+                np.testing.assert_allclose(
+                    np.asarray(batch[i]), np.asarray(single[0]), atol=1e-6
+                )
+
+    def test_emoji_composite_batch_matches_single(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(6)
+        c = jnp.asarray(rng.random((2, 48, 40, 3)).astype(np.float32))
+        s = jnp.asarray(rng.random((2, 48, 40, 3)).astype(np.float32))
+        seg = jnp.asarray(rng.random((2, 48, 40)) > 0.4)
+        emoji = jnp.asarray(rng.random((17, 17)) > 0.5)
+        batch = masks.emoji_composite_batch(c, s, seg, emoji, 31, 0.5, 1.5)
+        for i in range(2):
+            single = masks.emoji_composite(
+                c[i : i + 1], s[i : i + 1], seg[i], emoji, 31, 0.5, 1.5
+            )
+            np.testing.assert_allclose(
+                np.asarray(batch[i]), np.asarray(single[0]), atol=1e-5
+            )
+
+    def test_blur_masks_matches_blur_mask(self):
+        import jax.numpy as jnp
+
+        from tbist_tpu.ops.filters import blur_mask, blur_masks
+
+        rng = np.random.default_rng(7)
+        m = jnp.asarray(rng.random((4, 30, 26)) > 0.5)
+        batch = blur_masks(m, 9)
+        for i in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(batch[i]), np.asarray(blur_mask(m[i], 9))
+            )
