@@ -275,19 +275,93 @@ def warmup_fast_text(sizes=(512,), batch_sizes=()) -> dict:
     return timings
 
 
+def warmup_heavy(
+    size: int = 512,
+    programs=("gatys",),
+    gatys_steps: Optional[int] = None,
+) -> dict:
+    """Precompile the HEAVY per-shape programs through the PUBLIC
+    ``api.apply_image`` — exactly what a first request would compile,
+    upload/quantize epilogues included. Without this a fresh server's
+    first style-transfer request pays the full axon remote compile (the
+    north-star cold/warm split: 31.9 s vs 2.39 s at 200 iters,
+    benchmarks/results.json; a persistent compilation cache is
+    unavailable under axon).
+
+    ``programs`` selects from:
+      * ``gatys``  — the Gatys/CLIPstyler optimization loop (the
+        north-star path). XLA keys the program on the STATIC GatysConfig,
+        so ``gatys_steps`` must match the step count real requests send
+        (default: the config default, which the UI/serve defaults use).
+      * ``mask``   — the text location-mask chain (whichever extractor
+        resolves: real DINO+SAM or the fallback) + Ghiasi + composite.
+      * ``depth``  — the modified-loss depth transfer (estimator +
+        depth-weighted Gatys program).
+
+    Returns per-key compile seconds for the healthz report.
+    """
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    from tbist_tpu import api
+    from tbist_tpu.utils.config import (
+        DepthConfig, EffectRequest, GatysConfig, TextEffectConfig,
+    )
+
+    gcfg = GatysConfig(
+        num_steps=gatys_steps if gatys_steps else GatysConfig().num_steps
+    )
+    dummy = Image.fromarray(np.zeros((size, size, 3), np.uint8))
+    reqs = {
+        "gatys": lambda: api.apply_image(
+            dummy, EffectRequest(style_transfer=True, gatys=gcfg),
+            style_image=dummy,
+        ),
+        "mask": lambda: api.apply_image(
+            dummy,
+            EffectRequest(
+                text=TextEffectConfig(
+                    style_prompt="warmup", location_prompt="warmup"
+                )
+            ),
+        ),
+        "depth": lambda: api.apply_image(
+            dummy, EffectRequest(depth=DepthConfig(), gatys=gcfg),
+            style_image=dummy,
+        ),
+    }
+    timings = {}
+    for name in programs:
+        if name not in reqs:
+            raise ValueError(
+                f"unknown warmup program {name!r} (choose from {sorted(reqs)})"
+            )
+        t0 = time.perf_counter()
+        reqs[name]()
+        timings[f"{name}_{size}px"] = round(time.perf_counter() - t0, 3)
+    logger.info("serve: heavy warmup compiled %s", timings)
+    return timings
+
+
 def make_server(
     port: int = 8000,
     host: str = "127.0.0.1",
     batch_max: int = 0,
     batch_window_ms: float = 4.0,
     warmup_size: int = 0,
+    warmup_programs=(),
+    warmup_gatys_steps: int = 0,
 ) -> ThreadingHTTPServer:
     """``batch_max > 0`` enables cross-request micro-batching of
     fast-text requests (api/batching.py); 0 keeps every request on the
     sequential pipeline path. ``warmup_size > 0`` precompiles the
     fast-text programs at that resolution (the non-batched pipeline
     program and, with batching on, the batcher's dispatch at EVERY
-    arrival size 1..max_batch) before the server is returned."""
+    arrival size 1..max_batch) before the server is returned;
+    ``warmup_programs`` additionally precompiles the heavy programs
+    ('gatys', 'mask', 'depth' — see warmup_heavy) at the same size."""
     server = ThreadingHTTPServer((host, port), _Handler)
     server.batcher = None
     if batch_max > 0:
@@ -307,6 +381,13 @@ def make_server(
         batches = () if batch_max <= 0 else tuple(range(1, batch_max + 1))
         server.warmup = warmup_fast_text(
             sizes=(warmup_size,), batch_sizes=batches
+        )
+    if warmup_size > 0 and warmup_programs:
+        server.warmup.update(
+            warmup_heavy(
+                warmup_size, tuple(warmup_programs),
+                gatys_steps=warmup_gatys_steps or None,
+            )
         )
     return server
 
@@ -328,11 +409,27 @@ def main():
         help="precompile fast-text programs at NxN before serving "
         "(0 disables; typical: 512)",
     )
+    ap.add_argument(
+        "--warmup-programs", default="",
+        help="comma list of heavy programs to additionally precompile at "
+        "--warmup-size: gatys,mask,depth (e.g. --warmup-programs "
+        "gatys,mask; needs --warmup-size > 0)",
+    )
+    ap.add_argument(
+        "--warmup-gatys-steps", type=int, default=0,
+        help="step count for the gatys/depth warmup programs (must match "
+        "what requests send — the program is compiled per step count; "
+        "0 = the GatysConfig default)",
+    )
     args = ap.parse_args()
     server = make_server(
         args.port, args.host,
         batch_max=args.batch_max, batch_window_ms=args.batch_window_ms,
         warmup_size=args.warmup_size,
+        warmup_programs=tuple(
+            p.strip() for p in args.warmup_programs.split(",") if p.strip()
+        ),
+        warmup_gatys_steps=args.warmup_gatys_steps,
     )
     logger.info(
         "serving on %s:%d (fast-text batching %s)",
