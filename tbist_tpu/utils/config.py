@@ -128,7 +128,9 @@ class ColorPaletteConfig:
 class DepthConfig:
     """Depth-based style transfer (reference components/style_transfer_depth/)."""
 
-    mode: str = "mip"  # "mip" | "depth_loss"
+    # default matches the reference UI default "Modified loss Style
+    # Transfer" (app.py:110 via the radio value at app.py:968)
+    mode: str = "depth_loss"  # "depth_loss" | "mip"
     mip_layers: int = 2
     w_depth: float = 5e4  # Style_a3.py:181
 
