@@ -164,17 +164,39 @@ def perform_transfer_batch(
     return out[:n]
 
 
+def sp_min_width() -> int:
+    """Width threshold for spatially sharding a SINGLE image over the sp
+    axis. Below it the per-chip work is too small to amortize the conv
+    halo exchanges; the default is sized for feed-forward Ghiasi where a
+    512px image already runs in ~12 ms on one v5e chip (only one real
+    chip is reachable in this environment, so the crossover cannot be
+    measured — the mechanism is validated functionally on the virtual
+    8-device mesh and the threshold kept conservative).
+    ``TBIST_SP_MIN_WIDTH`` overrides (tests/dryrun use small widths)."""
+    import os
+
+    return int(os.environ.get("TBIST_SP_MIN_WIDTH", "1024"))
+
+
 def perform_transfer(
     image: jnp.ndarray,
     text: str,
     g_params=None,
     m_params=None,
     text_encoder: Optional[Callable[[str], jnp.ndarray]] = None,
+    use_mesh: bool = True,
 ) -> jnp.ndarray:
     """Apply the text style to an NHWC [0,1] image. Returns same shape.
 
     Matches the reference flow: embedding is mean-pooled, cast to fp32 and
     L2-normalized before the MLP (FastTextTransfer.py:52-56).
+
+    With >1 visible device, ``use_mesh`` and width >= ``sp_min_width()``,
+    the image's width axis shards over an sp-only production mesh
+    (weights replicated): XLA GSPMD splits every Ghiasi conv spatially
+    with automatic halo exchange and psums the instance-norm statistics,
+    so ONE large image scales across the slice — the reference runs
+    everything on one global device (app.py:51).
     """
     if g_params is None or m_params is None:
         g_params, m_params = default_params()
@@ -183,4 +205,16 @@ def perform_transfer(
 
         text_encoder = clip_text.get_default_encoder()
     emb = _pooled_embedding(text, text_encoder)
+    if use_mesh and image.ndim == 4 and image.shape[2] >= sp_min_width():
+        from tbist_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.production_mesh(sp_only=True)
+        # width must tile evenly over sp (shape buckets are multiples of
+        # 64, so any 2/4/8-way slice divides; skip the odd remainder case
+        # rather than pad — GSPMD padding would change the IN statistics)
+        if mesh is not None and image.shape[2] % mesh.shape[mesh_lib.SP_AXIS] == 0:
+            image = jax.device_put(image, mesh_lib.single_image_sharding(mesh))
+            g_params = jax.device_put(g_params, mesh_lib.replicated(mesh))
+            m_params = jax.device_put(m_params, mesh_lib.replicated(mesh))
+            emb = jax.device_put(emb, mesh_lib.replicated(mesh))
     return _transfer_jit(g_params, m_params, image, emb)

@@ -66,11 +66,20 @@ def mask_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DP_AXIS, None, SP_AXIS))
 
 
+def single_image_sharding(mesh: Mesh) -> NamedSharding:
+    """(1, H, W, C) single image: width over sp — XLA GSPMD partitions
+    the convolutions spatially with automatic halo exchange, and inserts
+    the cross-shard psums for instance-norm statistics. The layout that
+    makes ONE large image scale across a slice (the reference's single
+    global device, app.py:51, has no analog)."""
+    return NamedSharding(mesh, P(None, None, SP_AXIS, None))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def production_mesh(dp_only: bool = False) -> Optional[Mesh]:
+def production_mesh(dp_only: bool = False, sp_only: bool = False) -> Optional[Mesh]:
     """The mesh the PRODUCT runs on: over every visible device, or None
     single-device (where sharding is pure overhead).
 
@@ -83,9 +92,11 @@ def production_mesh(dp_only: bool = False) -> Optional[Mesh]:
     traffic AND is bit-stable vs the unsharded program — sp splits conv
     reduction order, whose ~1e-3 float drift the chaotic L-BFGS
     trajectory amplifies (measured: dp-only 8e-4 after 2 steps, any
-    sp>1 layout 0.3). The dp×sp layout remains for spatially sharding
-    large single images. Set TBIST_DISABLE_MESH=1 to force the
-    single-device path (debugging / A-B timing)."""
+    sp>1 layout 0.3). ``sp_only`` lays every device on sp — the
+    single-image layout (B=1 leaves dp nothing to shard; feed-forward
+    paths have no L-BFGS chaos, so sp's conv-reduction-order drift stays
+    within one uint8 level after quantization). Set TBIST_DISABLE_MESH=1
+    to force the single-device path (debugging / A-B timing)."""
     import os
 
     # "1" enables the override — same convention as every other TBIST_*
@@ -97,6 +108,8 @@ def production_mesh(dp_only: bool = False) -> Optional[Mesh]:
         return None
     if dp_only:
         return make_mesh(devices=devices, dp=len(devices), sp=1)
+    if sp_only:
+        return make_mesh(devices=devices, dp=1, sp=len(devices))
     return make_mesh(devices=devices)
 
 

@@ -337,3 +337,82 @@ class TestBatchedMixing:
         # the weight actually acts (one small step: effect ~5e-5, well
         # above the ~2e-6 same-weight reproducibility floor)
         assert np.abs(a - b).max() > 1e-5
+
+
+class TestSingleImageSpSharding:
+    """r3 VERDICT #5: a single LARGE fast-text image shards its width
+    over the sp-only production mesh (conv halo exchange + instance-norm
+    psums inserted by GSPMD) and matches the single-device output at the
+    uint8 level. Reference analog: everything runs on one global device
+    (app.py:51)."""
+
+    @staticmethod
+    def _setup():
+        from tbist_tpu.models import clip_mlp, ghiasi
+
+        key = jax.random.key(0)
+        g = ghiasi.init_params(jax.random.fold_in(key, 1))
+        m = clip_mlp.init_params(jax.random.fold_in(key, 2))
+
+        def enc(text):
+            return jax.random.normal(jax.random.key(5), (1, 512), jnp.float32)
+
+        return g, m, enc
+
+    def _spy(self, monkeypatch, captured):
+        from tbist_tpu.effects import text_transfer as tt
+
+        real_tj = tt._transfer_jit
+
+        def spy(gp, mp, image, emb):
+            captured["n_shards"] = len(image.addressable_shards)
+            captured["spec"] = getattr(image.sharding, "spec", None)
+            return real_tj(gp, mp, image, emb)
+
+        monkeypatch.setattr(tt, "_transfer_jit", spy)
+
+    def test_sp_shards_and_matches_single_device(self, monkeypatch):
+        from tbist_tpu.effects import text_transfer as tt
+
+        g, m, enc = self._setup()
+        img = jax.random.uniform(jax.random.key(3), (1, 64, 64, 3), jnp.float32)
+        monkeypatch.setenv("TBIST_SP_MIN_WIDTH", "64")
+        captured = {}
+        self._spy(monkeypatch, captured)
+        out_sp = np.asarray(
+            tt.perform_transfer(img, "mosaic", g, m, text_encoder=enc)
+        )
+        assert captured["n_shards"] == 8, captured
+        out_1 = np.asarray(
+            tt.perform_transfer(
+                img, "mosaic", g, m, text_encoder=enc, use_mesh=False
+            )
+        )
+        q_sp = np.clip(np.round(out_sp * 255), 0, 255)
+        q_1 = np.clip(np.round(out_1 * 255), 0, 255)
+        assert np.abs(q_sp - q_1).max() <= 1
+
+    def test_below_threshold_stays_unsharded(self, monkeypatch):
+        from tbist_tpu.effects import text_transfer as tt
+
+        g, m, enc = self._setup()
+        img = jax.random.uniform(jax.random.key(3), (1, 64, 64, 3), jnp.float32)
+        monkeypatch.setenv("TBIST_SP_MIN_WIDTH", "128")
+        captured = {}
+        self._spy(monkeypatch, captured)
+        tt.perform_transfer(img, "mosaic", g, m, text_encoder=enc)
+        assert captured["n_shards"] == 1, captured
+
+    def test_uneven_width_stays_unsharded(self, monkeypatch):
+        """68 is above the threshold but doesn't tile over sp=8 — the
+        gate must fall back to the single-device program, not crash."""
+        from tbist_tpu.effects import text_transfer as tt
+
+        g, m, enc = self._setup()
+        img = jax.random.uniform(jax.random.key(3), (1, 64, 68, 3), jnp.float32)
+        monkeypatch.setenv("TBIST_SP_MIN_WIDTH", "64")
+        captured = {}
+        self._spy(monkeypatch, captured)
+        out = tt.perform_transfer(img, "mosaic", g, m, text_encoder=enc)
+        assert captured["n_shards"] == 1, captured
+        assert out.shape == (1, 64, 68, 3)
