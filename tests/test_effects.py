@@ -241,6 +241,26 @@ class TestGhiasiBf16Stream:
         assert np.abs(b16 - f32).max() < 0.05
         assert np.abs(b16 - f32).mean() < 0.005
 
+    def test_bf16_within_one_uint8_level_at_512px(self):
+        """Regression guard for the SHIPPED operating point (VERDICT r3
+        #7): bf16 default-on was measured within 1 uint8 level of f32 at
+        512px on v5e (benchmarks/PROFILE.md round-3f) — pin that bound as
+        a test so a Ghiasi/XLA change that degrades it fails CI."""
+        from tbist_tpu.effects import text_transfer as tt
+        from tbist_tpu.utils.imageio import to_uint8_device
+
+        g, m = tt.default_params()
+        x = jnp.asarray(RNG.random((1, 512, 512, 3)).astype(np.float32))
+        emb = tt.fallback_text_embedding("mosaic tiles")
+        f32 = np.asarray(
+            to_uint8_device(tt._transfer_dtype_jit(g, m, x, emb, jnp.float32))
+        )
+        b16 = np.asarray(
+            to_uint8_device(tt._transfer_dtype_jit(g, m, x, emb, jnp.bfloat16))
+        )
+        diff = np.abs(f32.astype(np.int16) - b16.astype(np.int16))
+        assert diff.max() <= 1, f"bf16 vs f32 uint8 delta {diff.max()} at 512px"
+
     def test_env_flag_routes_default_entry(self, monkeypatch):
         from tbist_tpu.effects import text_transfer as tt
 

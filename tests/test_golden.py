@@ -124,6 +124,41 @@ def _cases():
         )
         return np.asarray(out[0])
 
+    def text_chain_case():
+        # FULL text chain: style prompt -> location mask -> fast
+        # transfer -> emoji composite (VERDICT r3 #7), on seeded weights
+        # through the production pipeline. Deterministic stand-ins for
+        # the environment-dependent pieces: the seeded CLIP fallback
+        # embedding resolves by default, the checkered stencil replaces
+        # the font raster, the border-prior fallback supplies the
+        # location mask, and the bit-f32 Ghiasi program pins the golden
+        # across regen environments (bf16 default-on is separately
+        # bounded at 512px in test_effects.TestGhiasiBf16Stream).
+        os.environ["TBIST_GHIASI_BF16"] = "0"
+        try:
+            from tbist_tpu.compose import pipeline as pl
+            from tbist_tpu.effects import masking
+            from tbist_tpu.effects import text_transfer as tt
+            from tbist_tpu.utils.config import EffectRequest, TextEffectConfig
+
+            reg = pl.ModelRegistry(
+                text_transfer=lambda img, p: tt.perform_transfer(
+                    img, p, use_mesh=False
+                ),
+                mask_extractor=masking._fallback_location_mask,
+                emoji_extractor=lambda prompt: _stencil(),
+            )
+            req = EffectRequest(
+                text=TextEffectConfig(
+                    style_prompt="mosaic", location_prompt="boat",
+                    texture_prompt="fire",
+                )
+            )
+            out = pl.apply_image(content, req, registry=reg)
+            return np.asarray(out[0])
+        finally:
+            os.environ.pop("TBIST_GHIASI_BF16", None)
+
     return {
         "gatys_8step": gatys_case,
         "pixel_art": pixel_case,
@@ -134,6 +169,7 @@ def _cases():
         "mip_roundtrip": mip_roundtrip_case,
         "mixing_2style": mixing_case,
         "depth_loss_6step": depth_loss_case,
+        "text_chain": text_chain_case,
     }
 
 
