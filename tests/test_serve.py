@@ -314,3 +314,51 @@ class TestHeavyWarmup:
 
         with pytest.raises(ValueError, match="unknown warmup program"):
             serve.warmup_heavy(8, programs=("nope",))
+
+
+class TestBodySizeCap:
+    """r3 VERDICT weak #7: requests run sequentially under one device
+    lock and videos buffer base64 in memory — bodies over --max-body-mb
+    must be refused with 413 BEFORE buffering."""
+
+    def test_oversized_body_413(self):
+        srv = serve.make_server(port=0, max_body_mb=0.001)  # ~1 KB cap
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            # incompressible noise so the PNG body clears the ~1 KB cap
+            img = np.random.default_rng(0).integers(
+                0, 255, (64, 64, 3), dtype=np.uint8
+            )
+            code, reply = _post(
+                url + "/v1/image",
+                {"image": _b64(img), "request": {"grayscale": True}},
+            )
+            assert code == 413
+            assert "max-body-mb" in reply["error"]
+        finally:
+            srv.shutdown()
+
+    def test_cap_disabled_with_zero(self):
+        srv = serve.make_server(port=0, max_body_mb=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            img = np.zeros((64, 64, 3), np.uint8)
+            code, reply = _post(
+                url + "/v1/image",
+                {"image": _b64(img), "request": {"grayscale": True}},
+            )
+            assert code == 200
+        finally:
+            srv.shutdown()
+
+    def test_default_cap_allows_normal_images(self, server_url):
+        img = np.zeros((64, 64, 3), np.uint8)
+        code, _ = _post(
+            server_url + "/v1/image",
+            {"image": _b64(img), "request": {"grayscale": True}},
+        )
+        assert code == 200
