@@ -142,6 +142,18 @@ def _bilinear_sample(value_hw: jnp.ndarray, locs: jnp.ndarray) -> jnp.ndarray:
 # with the gather path to ~1e-5.
 _INTERP_MM_MAX_HW = int(os.environ.get("TBIST_DINO_INTERP_MM_HW", "2500"))
 
+# The gather's ~27 GB/s only holds while the level table stays small
+# enough to sit in fast memory: at frame-batch 8 the level-0 table grows
+# to (64, 10000, 32) f32 = 82 MB and the same corner gather collapses to
+# 5.6 GB/s (161 ms vs 1.97 ms at B=1 — 10x worse PER FRAME, traced in
+# benchmarks/PROFILE.md round-4b). Above this table-byte threshold the
+# sampling maps over the batch axis inside the program (lax.map), so
+# each step gathers from a B=1-sized table in the fast regime. B=1
+# programs never hit this branch — the headline path is untouched.
+_GATHER_MAP_TABLE_BYTES = int(
+    os.environ.get("TBIST_DINO_GATHER_MAP_BYTES", str(16 * 1024 * 1024))
+)
+
 
 def _interp_matmul_sample(value_hw: jnp.ndarray, locs: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sampling as one dense weight matmul (small levels).
@@ -235,8 +247,20 @@ def deformable_attention(
         # the matmul path only pays when there are enough samples to
         # amortize (the decoder's 900 queries stay on the gather path)
         use_mm = hl * wl <= _INTERP_MM_MAX_HW and lq * points >= 4096
-        sample_fn = _interp_matmul_sample if use_mm else _bilinear_sample
-        sampled = sample_fn(vl, loc_l).reshape(b, heads, lq, points, dh)
+        if use_mm:
+            sampled = _interp_matmul_sample(vl, loc_l)
+        elif b > 1 and b * heads * hl * wl * dh * 4 > _GATHER_MAP_TABLE_BYTES:
+            # frame-batched large level: gather per frame inside the
+            # program so each step's table stays in the fast regime
+            # (see _GATHER_MAP_TABLE_BYTES)
+            vl_b = vl.reshape(b, heads, hl, wl, dh)
+            loc_b = loc_l.reshape(b, heads, lq * points, 2)
+            sampled = jax.lax.map(
+                lambda args: _bilinear_sample(*args), (vl_b, loc_b)
+            ).reshape(b * heads, lq * points, dh)
+        else:
+            sampled = _bilinear_sample(vl, loc_l)
+        sampled = sampled.reshape(b, heads, lq, points, dh)
         w_l = weights[:, :, :, li].transpose(0, 2, 1, 3)  # (B, heads, Lq, points)
         out = out + jnp.einsum("bhqp,bhqpd->bqhd", w_l, sampled)
         start += hl * wl

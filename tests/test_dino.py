@@ -153,6 +153,43 @@ class TestDeformableAttention:
         monkeypatch.setattr(dino_lib, "_bilinear_sample", orig)
         np.testing.assert_allclose(mm_out, gather_out, atol=1e-5)
 
+    def test_batched_gather_map_matches_direct(self, monkeypatch):
+        """Frame-batched large levels gather via lax.map over the batch
+        (the B=8 table falls off the fast-memory cliff otherwise, PROFILE
+        round-4b); the mapped form must equal the direct gather."""
+        key = jax.random.key(7)
+        d, heads, points, b = 16, 2, 2, 4
+        shapes = ((8, 8), (4, 4))
+        lv = sum(h * w for h, w in shapes)
+        keys = jax.random.split(key, 8)
+        p = {
+            "value_proj_w": jax.random.normal(keys[0], (d, d)) * 0.1,
+            "value_proj_b": jnp.zeros(d),
+            "sampling_offsets_w": jax.random.normal(keys[1], (d, heads * 2 * points * 2)) * 0.1,
+            "sampling_offsets_b": jax.random.normal(keys[2], (heads * 2 * points * 2,)) * 0.5,
+            "attention_weights_w": jax.random.normal(keys[3], (d, heads * 2 * points)) * 0.1,
+            "attention_weights_b": jnp.zeros(heads * 2 * points),
+            "output_proj_w": jax.random.normal(keys[4], (d, d)) * 0.1,
+            "output_proj_b": jnp.zeros(d),
+        }
+        value = jax.random.uniform(keys[5], (b, lv, d), jnp.float32)
+        query = jax.random.normal(keys[6], (b, 5, d))
+        refs = jax.random.uniform(keys[7], (b, 5, 2))
+
+        def run():
+            return np.asarray(
+                dino_lib.deformable_attention(
+                    query, refs, value, shapes, p, heads, points
+                )
+            )
+
+        monkeypatch.setattr(dino_lib, "_INTERP_MM_MAX_HW", 0)  # gather only
+        monkeypatch.setattr(dino_lib, "_GATHER_MAP_TABLE_BYTES", 1 << 60)
+        direct = run()
+        monkeypatch.setattr(dino_lib, "_GATHER_MAP_TABLE_BYTES", 0)
+        mapped = run()
+        np.testing.assert_allclose(mapped, direct, atol=1e-6)
+
 
 class TestGroundingDino:
     def test_end_to_end_shapes(self):
