@@ -556,14 +556,19 @@ def _measure(
         )
         from tbist_tpu.video import video as vid_lib
 
-        def batch_extractor(frames, prompt):
+        def batch_extractor(frames, prompt, det_size=800, det_max=1333,
+                            seg_size=0):
+            sp, scfg = sam_params, sam_lib.BASE
+            if seg_size:
+                sp, scfg = sam_lib.params_for_size(sam_params, scfg, seg_size)
             frames_dev = dino_sam._device_uint8(frames)
             b, h, w = frames_dev.shape[:3]
             _, pending = dino_sam._detect_dispatch_batch(
-                dino_params, frames_dev, prompt + ".", vocab
+                dino_params, frames_dev, prompt + ".", vocab,
+                det_hw=dino_sam._detection_size(h, w, det_size, det_max),
             )
             embs, scale, snh, snw = sam_lib.encode_uint8_batch(
-                sam_params, sam_lib.BASE, frames_dev
+                sp, scfg, frames_dev
             )
             np.asarray(pending["pred_boxes"])  # host sync as production
             fboxes = np.tile(
@@ -571,7 +576,7 @@ def _measure(
                 (b, 1, 1),
             )
             return sam_lib.masks_from_embedding_batch(
-                sam_params, sam_lib.BASE, embs, scale, snh, snw, h, w,
+                sp, scfg, embs, scale, snh, snw, h, w,
                 fboxes, np.ones((b, 1), bool),
             )
 
@@ -600,6 +605,50 @@ def _measure(
 
             dt = _timeit(masked_video_e2e, warmup=1, iters=2)
             results["video_e2e_masked_text_256px_fps"] = nframes / dt
+
+            # same request with the detection-resolution knob at 256
+            # (TextEffectConfig.detection_size, a TPU-native extension:
+            # the reference recipe upscales every frame to 800px,
+            # groundingdino_text_object_detector.py:43-49) — detector
+            # compute drops ~9.8x; masks coarsen accordingly
+            mreq256 = EffectRequest(
+                text=TextEffectConfig(
+                    style_prompt="starry night", location_prompt="boat",
+                    detection_size=256,
+                ),
+                video=VideoConfig(frame_batch=8),
+            )
+
+            def masked_video_e2e_det256():
+                return vid_lib.apply_video(
+                    in_path, mreq256, pipe_lib.EffectInputs(), mreg,
+                    out_path=os.path.join(tmp, "out.mp4"),
+                )
+
+            dt = _timeit(masked_video_e2e_det256, warmup=1, iters=2)
+            results["video_e2e_masked_text_256px_fps_det256"] = nframes / dt
+
+            # both knobs: detection at 256, SAM encoder at 512
+            # (TextEffectConfig.segmentation_size — interpolated position
+            # grids, models/sam.py params_for_size)
+            mreq_fast = EffectRequest(
+                text=TextEffectConfig(
+                    style_prompt="starry night", location_prompt="boat",
+                    detection_size=256, segmentation_size=512,
+                ),
+                video=VideoConfig(frame_batch=8),
+            )
+
+            def masked_video_e2e_fast():
+                return vid_lib.apply_video(
+                    in_path, mreq_fast, pipe_lib.EffectInputs(), mreg,
+                    out_path=os.path.join(tmp, "out.mp4"),
+                )
+
+            dt = _timeit(masked_video_e2e_fast, warmup=1, iters=2)
+            results["video_e2e_masked_text_256px_fps_det256_seg512"] = (
+                nframes / dt
+            )
 
         del dino_params, sam_params
         dino_sam.clear_text_feature_cache()  # release pinned HBM

@@ -22,11 +22,22 @@ from __future__ import annotations
 import queue
 import threading
 import time
+import weakref
 from typing import List, Optional
 
 import numpy as np
 
 from tbist_tpu.utils.config import EffectRequest
+
+# every live batcher, so tests/process shutdown can stop worker threads
+# without tracking instances at each construction site
+_LIVE: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def close_all() -> None:
+    """Stop every live batcher's worker thread (used by test teardown)."""
+    for b in list(_LIVE):
+        b.close()
 
 
 def eligible(req: EffectRequest) -> bool:
@@ -136,6 +147,8 @@ class FastTextBatcher:
         self.batches_run = 0
         self.requests_served = 0
         self._batch_sizes: List[int] = []
+        self._closed = False
+        _LIVE.add(self)
 
     # -- public -----------------------------------------------------------
 
@@ -152,6 +165,8 @@ class FastTextBatcher:
     def submit_item(self, image: np.ndarray, prompt: str) -> _Item:
         """Like :meth:`submit` but returns the completed queue item,
         exposing ``batch_n`` (how many requests shared the program)."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
         image = np.asarray(image)
         if image.ndim != 3 or image.shape[-1] != 3:
             raise ValueError(f"expected (H, W, 3) image, got {image.shape}")
@@ -174,6 +189,21 @@ class FastTextBatcher:
     def last_batch_sizes(self) -> List[int]:
         return list(self._batch_sizes)
 
+    def close(self, timeout: float = 2.0) -> None:
+        """Stop the worker thread. Queued work drains first; idempotent.
+
+        The worker is a daemon, so a process exit never hangs on it —
+        close() exists for long-lived processes (serve shutdown) and for
+        test hygiene: hundreds of parked drain threads otherwise
+        accumulate across a large suite run.
+        """
+        with self._lock:
+            self._closed = True
+            worker = self._worker
+        if worker is not None and worker.is_alive():
+            self._q.put(None)  # sentinel: wake the blocking drain
+            worker.join(timeout)
+
     # -- worker -----------------------------------------------------------
 
     def _ensure_worker(self) -> None:
@@ -185,7 +215,11 @@ class FastTextBatcher:
                 self._worker.start()
 
     def _drain(self) -> List[_Item]:
-        """One blocking get, then gather companions inside the window."""
+        """One blocking get, then gather companions inside the window.
+
+        A ``None`` sentinel (pushed by :meth:`close`) is filtered out;
+        real items queued before the close still drain and get answered.
+        """
         first = self._q.get()
         group = [first]
         deadline = time.monotonic() + self.window_s
@@ -197,11 +231,19 @@ class FastTextBatcher:
                 group.append(self._q.get(timeout=remaining))
             except queue.Empty:
                 break
-        return group
+        return [g for g in group if g is not None]
 
     def _run(self) -> None:
         while True:
+            # a sentinel consumed alongside real items is filtered by
+            # _drain, so re-check here before blocking on the queue again
+            if self._closed and self._q.empty():
+                return
             group = self._drain()
+            if not group:
+                if self._closed:
+                    return
+                continue
             # partition by exact image shape AND dtype — only those share
             # a program (np.stack over mixed f32/uint8 would promote the
             # 0-255 uint8 rows to float alongside 0-1 rows)

@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="center-crop the mask-detection input square")
     p.add_argument("--mask-resize", type=int, nargs=2, metavar=("H", "W"),
                    help="resize the mask-detection input")
+    p.add_argument("--detection-size", type=int, default=800,
+                   help="GroundingDINO input shortest side (reference "
+                   "preprocess: 800); lower = faster masked video, "
+                   "coarser masks")
+    p.add_argument("--segmentation-size", type=int, default=0,
+                   help="SAM encoder input size (default/0 = the "
+                   "checkpoint-native 1024; lower multiples of 16 "
+                   "trade mask fidelity for encoder compute)")
 
     p.add_argument("--pixel-art", action="store_true")
     p.add_argument("--pixel-size", type=float, default=0.4)
@@ -87,6 +95,8 @@ def request_from_args(args) -> EffectRequest:
             mask_crop=tuple(args.mask_crop),
             mask_square=args.mask_square,
             mask_resize=tuple(args.mask_resize or ()),
+            detection_size=args.detection_size,
+            segmentation_size=args.segmentation_size,
         )
     pixel = None
     if args.pixel_art:

@@ -25,7 +25,7 @@ from tbist_tpu.utils.logging import logger
 EMOJI_SIZE = 172  # reference stencil canvas (EmojiMaskExtractor.py:62)
 
 
-def _fallback_location_mask(image: jnp.ndarray, prompt: str) -> jnp.ndarray:
+def _fallback_location_mask(image: jnp.ndarray, prompt: str, **_kw) -> jnp.ndarray:
     """Deterministic saliency-ish mask when no DINO/SAM weights exist.
 
     Segments by color distance to the border-mean (background prior) —
@@ -60,6 +60,25 @@ def _fallback_emoji_stencil(prompt: str) -> jnp.ndarray:
     return jnp.asarray(np.asarray(big) < 255)
 
 
+def _detection_kwargs(tcfg) -> dict:
+    """det_size/det_max kwargs for a non-default detection resolution
+    (TextEffectConfig.detection_size — TPU-native extension; the reference
+    hardcodes RandomResize([800], max 1333),
+    groundingdino_text_object_detector.py:43-49). Empty at the defaults so
+    custom/fallback extractors with an (image, prompt) signature keep
+    working; an extractor that should honor the knob must accept the
+    det_size/det_max keywords (the production DINO+SAM ones do)."""
+    det = int(getattr(tcfg, "detection_size", 800) or 800)
+    det_max = int(getattr(tcfg, "detection_max_size", 1333) or 1333)
+    seg = int(getattr(tcfg, "segmentation_size", 0) or 0)
+    if det == 800 and det_max == 1333 and seg in (0, 1024):
+        return {}
+    kw = {"det_size": det, "det_max": det_max}
+    if seg not in (0, 1024):
+        kw["seg_size"] = seg
+    return kw
+
+
 def extract_location_mask(extractor: Callable, image, tcfg) -> jnp.ndarray:
     """Run ``extractor`` with the TextMaskExtractor preprocess options.
 
@@ -73,8 +92,9 @@ def extract_location_mask(extractor: Callable, image, tcfg) -> jnp.ndarray:
     """
     crop = tuple(tcfg.mask_crop)
     resize = tuple(tcfg.mask_resize)
+    det_kw = _detection_kwargs(tcfg)
     if crop == (0, 0, 0, 0) and not tcfg.mask_square and not resize:
-        return extractor(image, tcfg.location_prompt)
+        return extractor(image, tcfg.location_prompt, **det_kw)
 
     from tbist_tpu.models import dino_sam
 
@@ -91,7 +111,7 @@ def extract_location_mask(extractor: Callable, image, tcfg) -> jnp.ndarray:
     )
     # extractors accept (H, W, 3) uint8 directly — no float round-trip,
     # and uploads (if any) stay uint8 per the project transfer rule
-    m = np.asarray(extractor(pre, tcfg.location_prompt))
+    m = np.asarray(extractor(pre, tcfg.location_prompt, **det_kw))
     if m.shape != (ph, pw):  # undo the resize
         import jax
 
@@ -145,7 +165,7 @@ def default_batch_mask_extractor() -> Callable:
             "border-prior fallback segmentation per frame"
         )
 
-        def batch_fallback(frames, prompt: str) -> jnp.ndarray:
+        def batch_fallback(frames, prompt: str, **_kw) -> jnp.ndarray:
             arr = np.asarray(frames)  # device chunks fetch once here
             return jnp.stack(
                 [_fallback_location_mask(f, prompt) for f in arr]

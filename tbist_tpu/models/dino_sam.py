@@ -452,7 +452,9 @@ def _detect_dispatch_batch(
 
 def extract_masks_batch(
     dino_params, sam_params, frames, prompt: str,
-    sam_cfg=None, vocab=None, **cfg_kw,
+    sam_cfg=None, vocab=None, det_size: int = 800, det_max: int = 1333,
+    seg_size: int = 0,
+    **cfg_kw,
 ) -> jnp.ndarray:
     """Batched TextMaskExtractor: (B, H, W, 3) uint8 frames + ONE prompt
     -> DEVICE (B, H, W) bool masks.
@@ -468,9 +470,14 @@ def extract_masks_batch(
     logits. Per-frame semantics match extract_mask: zero detections ->
     all-False mask."""
     sam_cfg = sam_cfg or sam_lib.BASE
+    if seg_size:
+        sam_params, sam_cfg = sam_lib.params_for_size(
+            sam_params, sam_cfg, seg_size
+        )
     vocab = vocab or _load_vocab()
     frames_dev = _device_uint8(frames)
     b, h, w = frames_dev.shape[:3]
+    cfg_kw.setdefault("det_hw", _detection_size(h, w, det_size, det_max))
     ids, pending = _detect_dispatch_batch(
         dino_params, frames_dev, prompt, vocab, **cfg_kw
     )
@@ -508,8 +515,14 @@ def get_batch_mask_extractor() -> Callable:
     when checkpoints are missing (effects.masking falls back)."""
     dino_params, sam_params = get_loaded_params()
 
-    def extractor(frames, prompt: str) -> jnp.ndarray:
-        return extract_masks_batch(dino_params, sam_params, frames, prompt)
+    def extractor(
+        frames, prompt: str, det_size: int = 800, det_max: int = 1333,
+        seg_size: int = 0,
+    ) -> jnp.ndarray:
+        return extract_masks_batch(
+            dino_params, sam_params, frames, prompt,
+            det_size=det_size, det_max=det_max, seg_size=seg_size,
+        )
 
     return extractor
 
@@ -526,7 +539,9 @@ def _boxes_to_xyxy(boxes: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def extract_mask(
     dino_params, sam_params, image: np.ndarray, prompt: str,
-    sam_cfg=None, vocab=None, **cfg_kw,
+    sam_cfg=None, vocab=None, det_size: int = 800, det_max: int = 1333,
+    seg_size: int = 0,
+    **cfg_kw,
 ) -> jnp.ndarray:
     """Full TextMaskExtractor pipeline -> (H, W) bool mask.
 
@@ -544,9 +559,16 @@ def extract_mask(
     the product's common path (PROFILE.md round-3d: −24% chain latency).
     """
     sam_cfg = sam_cfg or sam_lib.BASE
+    if seg_size:  # TextEffectConfig.segmentation_size (0/default = 1024)
+        sam_params, sam_cfg = sam_lib.params_for_size(
+            sam_params, sam_cfg, seg_size
+        )
     h, w = image.shape[:2]
     vocab = vocab or _load_vocab()
     img_dev = _device_uint8(image)
+    # detection resolution knob (TextEffectConfig.detection_size): defaults
+    # reproduce the reference RandomResize([800], max 1333) preprocess
+    cfg_kw.setdefault("det_hw", _detection_size(h, w, det_size, det_max))
     ids, pending = _detect_dispatch(dino_params, img_dev, prompt, vocab, **cfg_kw)
     emb, scale, nh, nw = sam_lib.encode_uint8(sam_params, sam_cfg, img_dev)
     boxes, _ = _detect_collect(ids, pending, vocab)
@@ -586,13 +608,19 @@ def get_loaded_params() -> Tuple:
 def get_mask_extractor() -> Callable:
     dino_params, sam_params = get_loaded_params()
 
-    def extractor(image, prompt: str) -> jnp.ndarray:
+    def extractor(
+        image, prompt: str, det_size: int = 800, det_max: int = 1333,
+        seg_size: int = 0,
+    ) -> jnp.ndarray:
         arr = np.asarray(image)
         if arr.ndim == 4:
             arr = arr[0]
         if arr.dtype.kind == "f":
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
         # same single-upload + overlapped-dispatch chain as extract_mask
-        return extract_mask(dino_params, sam_params, arr, prompt)
+        return extract_mask(
+            dino_params, sam_params, arr, prompt,
+            det_size=det_size, det_max=det_max, seg_size=seg_size,
+        )
 
     return extractor

@@ -345,6 +345,58 @@ def _decode_jit(params, cfg: SamConfig, emb, boxes01):
     return decode_masks(params, cfg, emb, boxes01)
 
 
+_SIZE_ADAPTED_CACHE: dict = {}  # (id(params), img_size) -> (params2, cfg2, ref)
+
+
+def params_for_size(params, cfg: SamConfig, img_size: int) -> Tuple:
+    """Adapt (params, cfg) to a non-default encoder input size.
+
+    SAM's checkpoint pins the encoder to cfg.img_size (1024) through its
+    learned position grid and the GLOBAL layers' relative-position tables.
+    For a smaller grid g' this bilinearly resizes ``pos_embed`` to
+    (1, g', g', C) and linearly resizes each global layer's rel_pos_h/w
+    to 2*g'-1 rows — the same interpolation the official SAM applies for
+    off-size inputs (segment_anything ViTDet ``get_rel_pos``). Window
+    layers keep their (2*window-1) tables; the decoder reads the grid
+    from the embedding shape, so it adapts for free.
+
+    Results are cached per (params identity, size); the cache holds a
+    strong ref to the source tree so ids cannot be recycled. The default
+    size returns the inputs untouched — the reference-faithful path."""
+    if img_size == cfg.img_size:
+        return params, cfg
+    if img_size % cfg.patch:
+        raise ValueError(f"encoder size {img_size} not a multiple of patch "
+                         f"{cfg.patch}")
+    key = (id(params), img_size)
+    hit = _SIZE_ADAPTED_CACHE.get(key)
+    if hit is not None and hit[2] is params:
+        return hit[0], hit[1]
+    cfg2 = cfg._replace(img_size=img_size)
+    g_new = img_size // cfg.patch
+    p2 = dict(params)
+    pe = params["pos_embed"]
+    p2["pos_embed"] = jax.image.resize(
+        pe, (1, g_new, g_new, pe.shape[-1]), "bilinear"
+    )
+    blocks = []
+    for i, blk in enumerate(params["blocks"]):
+        if i in cfg.global_layers:
+            attn = dict(blk["attn"])
+            for kname in ("rel_pos_h", "rel_pos_w"):
+                r = attn[kname]  # (2*g_old-1, head_dim)
+                attn[kname] = jax.image.resize(
+                    r, (2 * g_new - 1, r.shape[-1]), "linear"
+                )
+            blk = {**blk, "attn": attn}
+        blocks.append(blk)
+    p2["blocks"] = blocks
+    if len(_SIZE_ADAPTED_CACHE) > 8:
+        _SIZE_ADAPTED_CACHE.clear()
+    _SIZE_ADAPTED_CACHE[key] = (p2, cfg2, params)
+    return p2, cfg2
+
+
 def encode_uint8(params, cfg: SamConfig, image) -> Tuple:
     """Preprocess + dispatch the image encoder; return (emb, scale, nh, nw).
 

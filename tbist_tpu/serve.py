@@ -384,7 +384,14 @@ def make_server(
     buffering): requests run sequentially under one device lock, so an
     unbounded video body would both exhaust host memory and block every
     other request for its full duration. 0 disables the cap."""
-    server = ThreadingHTTPServer((host, port), _Handler)
+    class _Server(ThreadingHTTPServer):
+        def server_close(self):  # stop the batcher worker with the server
+            b = getattr(self, "batcher", None)
+            if b is not None:
+                b.close()
+            super().server_close()
+
+    server = _Server((host, port), _Handler)
     server.max_body_bytes = int(max_body_mb * 1024 * 1024)
     server.batcher = None
     if batch_max > 0:

@@ -100,6 +100,23 @@ class TextEffectConfig:
     mask_crop: Tuple[int, int, int, int] = (0, 0, 0, 0)
     mask_square: bool = False
     mask_resize: Tuple[int, ...] = ()
+    # GroundingDINO detection resolution: shortest side / longest-side cap
+    # of the detector input. Defaults match the reference preprocess
+    # exactly (RandomResize([800], max_size=1333),
+    # groundingdino_text_object_detector.py:43-49). TPU-native extension:
+    # lowering detection_size trades mask fidelity for detector compute —
+    # the dominant cost of the masked-text VIDEO lane, where small frames
+    # are otherwise UPSCALED to 800px per the reference recipe (a 256px
+    # frame runs 9.8x fewer detector pixels at detection_size=256).
+    detection_size: int = 800
+    detection_max_size: int = 1333
+    # SAM image-encoder input size (longest side). 0/1024 = the
+    # checkpoint-native grid (segment_anything SamPredictor.set_image).
+    # Lower multiples of 16 (e.g. 512) interpolate the position grids
+    # (models/sam.py params_for_size) for ~(1024/s)^2 less encoder
+    # compute at reduced mask fidelity — pairs with detection_size for
+    # fast masked VIDEO.
+    segmentation_size: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

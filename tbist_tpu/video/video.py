@@ -611,7 +611,10 @@ def _batched_masked_text(
             # while extract() blocks the host on DINO's logits
             styled = _text_fwd_f32_jit(g_params, chunk_dev, sv, cd)
             if has_l:
-                masks = jnp.asarray(extract(chunk_dev, tcfg.location_prompt))
+                masks = jnp.asarray(
+                    extract(chunk_dev, tcfg.location_prompt,
+                            **masking_fx._detection_kwargs(tcfg))
+                )
                 if mesh is not None:
                     masks = jax.device_put(masks, mesh_lib.mask_sharding(mesh))
                 if has_x:

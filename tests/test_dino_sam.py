@@ -429,3 +429,126 @@ class TestBatchedMaskChainTiny:
         )
         mismatch = np.mean(np.asarray(b3[0]) != np.asarray(b1[0]))
         assert mismatch < 0.001
+
+
+class TestDetectionSizeKnob:
+    """TextEffectConfig.detection_size plumbs through to the DINO input
+    resolution (TPU-native extension; reference hardcodes
+    RandomResize([800], max 1333) at
+    groundingdino_text_object_detector.py:43-49)."""
+
+    def test_extract_mask_honors_det_size(self, monkeypatch):
+        tiny = TestBatchedMaskChainTiny()
+        dparams, sparams, sam_tiny, vocab, kw = tiny._tiny()
+        kw.pop("det_hw")  # let the knob drive the resolution
+        monkeypatch.setattr(dino_sam, "BOX_THRESHOLD", -1.0)
+        monkeypatch.setattr(dino_sam, "TEXT_THRESHOLD", -1.0)
+        seen = []
+        real = dino_sam._dino_jit
+
+        def spy(params, cfg, image, *a, **k):
+            seen.append(tuple(image.shape))
+            return real(params, cfg, image, *a, **k)
+
+        monkeypatch.setattr(dino_sam, "_dino_jit", spy)
+        rng = np.random.default_rng(21)
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        mask = dino_sam.extract_mask(
+            dparams, sparams, img, "boat", sam_cfg=sam_tiny, vocab=vocab,
+            det_size=32, det_max=1333, **kw,
+        )
+        assert mask.shape == (64, 64)  # mask stays in content coordinates
+        assert seen[-1][1:3] == (32, 32)  # detector ran at the low res
+
+        frames = (rng.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+        batch = dino_sam.extract_masks_batch(
+            dparams, sparams, frames, "boat", sam_cfg=sam_tiny, vocab=vocab,
+            det_size=32, det_max=1333, **kw,
+        )
+        assert batch.shape == (2, 64, 64)
+        assert seen[-1][1:3] == (32, 32)
+
+    def test_detection_kwargs_gate(self):
+        from tbist_tpu.effects import masking
+        from tbist_tpu.utils.config import TextEffectConfig
+
+        # defaults -> empty kwargs, so (image, prompt) extractors still work
+        assert masking._detection_kwargs(TextEffectConfig()) == {}
+        kw = masking._detection_kwargs(TextEffectConfig(detection_size=400))
+        assert kw == {"det_size": 400, "det_max": 1333}
+        kw = masking._detection_kwargs(
+            TextEffectConfig(detection_size=400, segmentation_size=512)
+        )
+        assert kw == {"det_size": 400, "det_max": 1333, "seg_size": 512}
+        # seg-only request still routes through (detection at defaults)
+        kw = masking._detection_kwargs(TextEffectConfig(segmentation_size=512))
+        assert kw == {"det_size": 800, "det_max": 1333, "seg_size": 512}
+
+    def test_cli_flag_plumbs(self):
+        from tbist_tpu import cli
+
+        args = cli.build_parser().parse_args(
+            ["--image", "x.png", "--out", "y.png", "--text-style", "fire",
+             "--text-location", "boat", "--detection-size", "400"]
+        )
+        req = cli.request_from_args(args)
+        assert req.text.detection_size == 400
+        assert req.text.detection_max_size == 1333
+
+    def test_sam_params_for_size(self):
+        import jax
+
+        from tbist_tpu.models import sam as sam_lib
+
+        cfg = sam_lib.SamConfig(
+            img_size=64, patch=16, width=32, layers=2, heads=2, window=2,
+            global_layers=(1,), embed_dim=32, decoder_heads=2,
+            decoder_layers=2, mlp_dim=64, num_mask_tokens=4,
+        )
+        params = sam_lib.init_params(jax.random.key(3), cfg)
+        # native size: identity, no copy
+        p_same, c_same = sam_lib.params_for_size(params, cfg, 64)
+        assert p_same is params and c_same is cfg
+        # adapted: pos grid and GLOBAL rel-pos rows track the new grid
+        p2, c2 = sam_lib.params_for_size(params, cfg, 32)
+        assert c2.img_size == 32
+        g2 = 32 // cfg.patch
+        assert p2["pos_embed"].shape == (1, g2, g2, cfg.width)
+        head_dim = cfg.width // cfg.heads
+        assert p2["blocks"][1]["attn"]["rel_pos_h"].shape == (2 * g2 - 1, head_dim)
+        # window layer untouched (same object)
+        assert p2["blocks"][0] is params["blocks"][0]
+        # cached
+        p3, _ = sam_lib.params_for_size(params, cfg, 32)
+        assert p3 is p2
+        # non-multiple-of-patch rejected
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sam_lib.params_for_size(params, cfg, 40)
+        sam_lib._SIZE_ADAPTED_CACHE.clear()
+
+    def test_extract_mask_honors_seg_size(self, monkeypatch):
+        tiny = TestBatchedMaskChainTiny()
+        dparams, sparams, sam_tiny, vocab, kw = tiny._tiny()
+        monkeypatch.setattr(dino_sam, "BOX_THRESHOLD", -1.0)
+        monkeypatch.setattr(dino_sam, "TEXT_THRESHOLD", -1.0)
+        from tbist_tpu.models import sam as sam_lib
+
+        seen = []
+        real = sam_lib.encode_uint8
+
+        def spy(params, cfg, image):
+            seen.append(cfg.img_size)
+            return real(params, cfg, image)
+
+        monkeypatch.setattr(sam_lib, "encode_uint8", spy)
+        rng = np.random.default_rng(23)
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        mask = dino_sam.extract_mask(
+            dparams, sparams, img, "boat", sam_cfg=sam_tiny, vocab=vocab,
+            seg_size=32, **kw,
+        )
+        assert mask.shape == (64, 64)
+        assert seen[-1] == 32  # encoder ran at the adapted size
+        sam_lib._SIZE_ADAPTED_CACHE.clear()
