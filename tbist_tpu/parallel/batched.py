@@ -223,20 +223,36 @@ def train_step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
 def _run_steps(
     cfg: GatysConfig, vgg_params, state, content_feats, target_grads,
-    style_grams, w_style=None,
+    style_grams, w_style=None, with_history: bool = False,
 ):
-    """num_steps train steps fused into one program (no per-step dispatch)."""
+    """num_steps train steps fused into one program (no per-step dispatch).
 
-    def body(_, st):
-        st, _losses = _train_step_impl(
+    ``with_history`` (static) additionally carries the per-step losses
+    ((num_steps, B) f32) through the fori_loop — the single-image sp lane
+    reports them as ``RunMetrics.loss_history`` and the multichip dryrun
+    asserts trajectory parity on them. Kept off by default so the video
+    lane's compiled programs are byte-identical to previous rounds."""
+
+    hist0 = (
+        jnp.zeros((cfg.num_steps, state.images.shape[0]), jnp.float32)
+        if with_history
+        else None
+    )
+
+    def body(i, carry):
+        st, hist = carry
+        st, losses_b = _train_step_impl(
             cfg, vgg_params, st, content_feats, target_grads, style_grams, w_style
         )
-        return st
+        if hist is not None:
+            hist = hist.at[i].set(losses_b)
+        return st, hist
 
-    return jax.lax.fori_loop(0, cfg.num_steps, body, state)
+    state, hist = jax.lax.fori_loop(0, cfg.num_steps, body, (state, hist0))
+    return (state, hist) if with_history else state
 
 
 def run(
@@ -245,6 +261,7 @@ def run(
     frames: jnp.ndarray,
     styles: Tuple[jnp.ndarray, ...],
     w_style=None,
+    return_history: bool = False,
 ) -> jnp.ndarray:
     """Full batched stylization: init + num_steps train steps + clamp.
 
@@ -254,7 +271,10 @@ def run(
     — per-layer MIP strengths reuse this one compiled program). With two
     styles the mixing weight is passed TRACED (cfg's copy is collapsed to
     0.5 for the static jit key), so sweeping the mixing slider reuses one
-    compiled program instead of paying a remote compile per value."""
+    compiled program instead of paying a remote compile per value.
+
+    ``return_history`` additionally returns the (num_steps, B) per-step
+    loss history (the single-image sp lane's RunMetrics surface)."""
     siw = None
     if len(styles) == 2:
         import dataclasses
@@ -266,7 +286,11 @@ def run(
     )
     if w_style is not None:
         w_style = jnp.asarray(w_style, jnp.float32)
-    state = _run_steps(
-        cfg, vgg_params, state, content_feats, target_grads, style_grams, w_style
+    out = _run_steps(
+        cfg, vgg_params, state, content_feats, target_grads, style_grams,
+        w_style, return_history,
     )
-    return jnp.clip(state.images, 0.0, 1.0)
+    if return_history:
+        state, hist = out
+        return jnp.clip(state.images, 0.0, 1.0), hist
+    return jnp.clip(out.images, 0.0, 1.0)

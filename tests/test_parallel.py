@@ -416,3 +416,99 @@ class TestSingleImageSpSharding:
         out = tt.perform_transfer(img, "mosaic", g, m, text_encoder=enc)
         assert captured["n_shards"] == 1, captured
         assert out.shape == (1, 64, 68, 3)
+
+
+class TestGatysSpSharding:
+    """r4 VERDICT #1: the single-image Gatys/mixing optimization — the
+    heaviest public endpoint (reference run_style_transfer.py:100-151 on
+    ONE device, app.py:51) — shards its width over the sp-only production
+    mesh through the batched lane, with loss-trajectory parity against the
+    single-device program (pixel equality is not a valid invariant across
+    differently partitioned L-BFGS programs, see __graft_entry__)."""
+
+    @staticmethod
+    def _cfg(**kw):
+        kw.setdefault("num_steps", 2)
+        kw.setdefault("optimizer", "lbfgs")
+        kw.setdefault("max_side", 64)
+        return GatysConfig(**kw)
+
+    def _spy(self, monkeypatch, captured):
+        from tbist_tpu.effects import style as style_fx
+
+        real_run = batched.run
+
+        def spy(cfg, vp, frames, styles, *a, **k):
+            captured["n_shards"] = len(frames.addressable_shards)
+            captured["spec"] = getattr(frames.sharding, "spec", None)
+            return real_run(cfg, vp, frames, styles, *a, **k)
+
+        monkeypatch.setattr(batched, "run", spy)
+        return style_fx
+
+    def test_sp_shards_with_trajectory_parity(self, monkeypatch):
+        from tbist_tpu.utils.logging import RunMetrics
+
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        content = jax.random.uniform(jax.random.key(1), (1, 32, 64, 3), jnp.float32)
+        style = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+        monkeypatch.setenv("TBIST_GATYS_SP_MIN_WIDTH", "64")
+        captured = {}
+        style_fx = self._spy(monkeypatch, captured)
+        cfg = self._cfg()
+        m_sp = RunMetrics()
+        style_fx.style_transfer(content, [style], cfg, vgg_params, metrics=m_sp)
+        assert captured["n_shards"] == 8, captured
+        assert "sp" in str(captured["spec"])
+        monkeypatch.setenv("TBIST_DISABLE_MESH", "1")
+        m_1 = RunMetrics()
+        style_fx.style_transfer(content, [style], cfg, vgg_params, metrics=m_1)
+        assert len(m_sp.loss_history) == cfg.num_steps
+        np.testing.assert_allclose(
+            np.asarray(m_sp.loss_history), np.asarray(m_1.loss_history),
+            rtol=1e-2,
+        )
+
+    def test_mixing_shards_with_trajectory_parity(self, monkeypatch):
+        from tbist_tpu.utils.logging import RunMetrics
+
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        content = jax.random.uniform(jax.random.key(1), (1, 32, 64, 3), jnp.float32)
+        s1 = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+        s2 = jax.random.uniform(jax.random.key(3), (1, 32, 32, 3), jnp.float32)
+        monkeypatch.setenv("TBIST_GATYS_SP_MIN_WIDTH", "64")
+        captured = {}
+        style_fx = self._spy(monkeypatch, captured)
+        cfg = self._cfg(style_img_weight=0.3)
+        m_sp = RunMetrics()
+        style_fx.style_transfer(content, [s1, s2], cfg, vgg_params, metrics=m_sp)
+        assert captured["n_shards"] == 8, captured
+        monkeypatch.setenv("TBIST_DISABLE_MESH", "1")
+        m_1 = RunMetrics()
+        style_fx.style_transfer(content, [s1, s2], cfg, vgg_params, metrics=m_1)
+        np.testing.assert_allclose(
+            np.asarray(m_sp.loss_history), np.asarray(m_1.loss_history),
+            rtol=1e-2,
+        )
+
+    def test_gates_fall_back_to_per_image_program(self, monkeypatch):
+        """channel_attention / random_init / uneven width / below-threshold
+        requests stay on the optimize.gatys program (batched.run unused)."""
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        style = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+        monkeypatch.setenv("TBIST_GATYS_SP_MIN_WIDTH", "64")
+        captured = {}
+        style_fx = self._spy(monkeypatch, captured)
+        even = jax.random.uniform(jax.random.key(1), (1, 32, 64, 3), jnp.float32)
+        cfg = self._cfg(num_steps=1)
+        import dataclasses
+
+        for content, case_cfg in [
+            (even, dataclasses.replace(cfg, channel_attention=True)),
+            (even, dataclasses.replace(cfg, random_init=True)),
+            # 40px: above nothing — below the 64 threshold
+            (even[:, :, :40], cfg),
+        ]:
+            out = style_fx.style_transfer(content, [style], case_cfg, vgg_params)
+            assert captured == {}, (case_cfg, captured)
+            assert out.shape == content.shape
