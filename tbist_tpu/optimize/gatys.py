@@ -232,7 +232,16 @@ def stylize(
     if key is None:
         key = jax.random.key(cfg.seed)
     styles = tuple(s.astype(jnp.float32) for s in styles)
-    return _stylize_jit(
-        _normalize_static(cfg), len(styles), _weights_array(cfg), vgg_params,
-        content.astype(jnp.float32), styles, key, init,
-    )
+    ncfg = _normalize_static(cfg)
+    dyn = (_weights_array(cfg), vgg_params, content.astype(jnp.float32),
+           styles, key, init)
+    from tbist_tpu.utils import aot
+
+    if aot.enabled():
+        # one-shot cold starts: load a serialized executable instead of
+        # paying the remote compile (utils/aot.py; falls back silently)
+        return aot.call_cached(
+            _stylize_jit, "gatys_stylize", repr((ncfg, len(styles))),
+            (ncfg, len(styles)), dyn,
+        )
+    return _stylize_jit(ncfg, len(styles), *dyn)

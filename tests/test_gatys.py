@@ -87,3 +87,54 @@ class TestStylize:
         assert gatys.style_weight_from_strength(-1) == 5e5
         assert gatys.style_weight_from_strength(1.0) == pytest.approx(5e5)
         assert gatys.style_weight_from_strength(2.0) > 5e5
+
+
+class TestAotCache:
+    """utils/aot.py: serialized-executable cache for one-shot cold starts."""
+
+    def test_roundtrip_and_cache_hit(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("TBIST_AOT_CACHE", "1")
+        monkeypatch.setenv("TBIST_AOT_DIR", str(tmp_path))
+        from tbist_tpu.utils import aot
+
+        aot._LOADED.clear()
+        cfg = dataclasses.replace(SMALL, num_steps=3)
+        ref, ref_hist = gatys.stylize(CONTENT, [STYLE1], cfg, PARAMS)
+        # first AOT call: compiles + persists
+        aot._LOADED.clear()
+        out, hist = gatys.stylize(CONTENT, [STYLE1], cfg, PARAMS)
+        files = list(tmp_path.glob("gatys_stylize-*.jaxexec"))
+        assert len(files) == 1 and files[0].stat().st_size > 0
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        # fresh-process shape: drop the in-memory handle, load from disk,
+        # and prove no compile happens by poisoning .lower
+        aot._LOADED.clear()
+        monkeypatch.setattr(
+            gatys._stylize_jit, "lower",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("compiled")),
+        )
+        out2, hist2 = gatys.stylize(CONTENT, [STYLE1], cfg, PARAMS)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(hist2), np.asarray(ref_hist))
+
+    def test_failure_falls_back_to_jit(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("TBIST_AOT_CACHE", "1")
+        monkeypatch.setenv("TBIST_AOT_DIR", str(tmp_path))
+        from tbist_tpu.utils import aot
+
+        aot._LOADED.clear()
+        monkeypatch.setattr(
+            "jax.experimental.serialize_executable.serialize",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("backend says no")),
+        )
+        cfg = dataclasses.replace(SMALL, num_steps=3)
+        out, hist = gatys.stylize(CONTENT, [STYLE1], cfg, PARAMS)
+        assert out.shape == CONTENT.shape
+        assert not list(tmp_path.glob("*.jaxexec"))
+
+    def test_disabled_by_default(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("TBIST_AOT_CACHE", raising=False)
+        monkeypatch.setenv("TBIST_AOT_DIR", str(tmp_path))
+        cfg = dataclasses.replace(SMALL, num_steps=3)
+        gatys.stylize(CONTENT, [STYLE1], cfg, PARAMS)
+        assert not list(tmp_path.glob("*.jaxexec"))
