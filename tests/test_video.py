@@ -396,10 +396,10 @@ class TestMixingVideo:
         captured = {}
         real_run = batched.run
 
-        def spy_run(cfg, params, frames, styles, w_style=None):
+        def spy_run(cfg, params, frames, styles, w_style=None, **kw):
             captured["sharding"] = frames.sharding
             captured["n_styles"] = len(styles)
-            return real_run(cfg, params, frames, styles, w_style)
+            return real_run(cfg, params, frames, styles, w_style, **kw)
 
         monkeypatch.setattr(batched, "run", spy_run)
         real_writer = vid._StreamWriter.__call__
@@ -698,3 +698,80 @@ class TestMaskedTextVideo:
             ),
         )
         assert not vid._is_pure_masked_text_request(req)
+
+
+class TestDepthVideo:
+    def test_depth_video_takes_batched_lane_and_matches_per_frame(
+        self, tmp_path, monkeypatch
+    ):
+        """A depth-loss video through PUBLIC apply_video must ride the
+        batched/streaming lane (depth_fn reaching batched.run, frames
+        dp-sharded) and match the per-frame image-pipeline result
+        (VERDICT r4 missing #4). Reference capability: depth mode over
+        video, app.py:660-735 inside :784-815."""
+        from tbist_tpu.effects.depth import _fallback_depth
+        from tbist_tpu.parallel import batched
+        from tbist_tpu.utils.config import DepthConfig
+
+        in_path = str(tmp_path / "in.mp4")
+        _write_test_video(in_path, n_frames=5, size=(32, 32))
+        req = EffectRequest(
+            depth=DepthConfig(mode="depth_loss", w_depth=50.0),
+            gatys=GatysConfig(
+                num_steps=1, w_style=1e3, w_edge=0.0,
+                shape_bucket=32, max_side=32, optimizer="lbfgs",
+            ),
+            video=VideoConfig(frame_batch=8),
+        )
+        assert vid._is_pure_depth_request(req)
+        style = jnp.asarray(RNG.random((1, 32, 32, 3)).astype(np.float32))
+        inputs = pipe.EffectInputs(style_image=style)
+        registry = pipe.ModelRegistry(
+            vgg_params=vgg19.init_params(jax.random.key(0)),
+            depth_estimator=_fallback_depth,
+        )
+
+        captured = {}
+        real_run = batched.run
+
+        def spy_run(cfg, params, frames, styles, w_style=None, **kw):
+            captured["sharding"] = frames.sharding
+            captured["depth_fn"] = kw.get("depth_fn")
+            captured["w_depth"] = cfg.w_depth
+            return real_run(cfg, params, frames, styles, w_style, **kw)
+
+        monkeypatch.setattr(batched, "run", spy_run)
+        real_writer = vid._StreamWriter.__call__
+
+        def spy_writer(self, chunk):
+            captured.setdefault("chunks", []).append(np.asarray(chunk))
+            return real_writer(self, chunk)
+
+        monkeypatch.setattr(vid._StreamWriter, "__call__", spy_writer)
+        out_path = vid.apply_video(
+            in_path, req, inputs, registry, out_path=str(tmp_path / "out.mp4")
+        )
+        assert out_path and os.path.exists(out_path)
+        assert captured["depth_fn"] is _fallback_depth
+        assert captured["w_depth"] == 50.0
+        assert not captured["sharding"].is_fully_replicated
+        streamed = np.concatenate(captured["chunks"])
+        assert streamed.shape[0] == 5
+
+        decoded, _ = vid.read_frames(in_path)
+        for i, frame in enumerate(decoded):
+            x = jnp.asarray(frame)[None].astype(jnp.float32) / 255.0
+            ref = pipe.apply_image(x, req, inputs, registry)
+            ref_u8 = np.asarray(vid._u8_device(ref))[0]
+            diff = np.abs(
+                streamed[i].astype(np.int16) - ref_u8.astype(np.int16)
+            ).max()
+            assert diff <= 2, f"frame {i}: batched vs per-frame diff {diff}"
+
+    def test_mip_mode_stays_on_general_path(self, tmp_path):
+        """MIP depth mode keeps the per-frame general path (host-side
+        layer decomposition/reconstruction) but still writes a video."""
+        from tbist_tpu.utils.config import DepthConfig
+
+        req = EffectRequest(depth=DepthConfig(mode="mip"))
+        assert not vid._is_pure_depth_request(req)
