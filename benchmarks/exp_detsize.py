@@ -1,0 +1,172 @@
+"""Detection-size operating curve for the masked-text VIDEO lane.
+
+VERDICT r4 weak #3 / directive #4: DINO detection is ~78% of the
+masked-text video chunk budget (PROFILE round-4b), and the reference
+recipe UPSCALES small frames to 800px for detection
+(/root/reference/text/subnetworks/groundingdino_text_object_detector.py:43-49
+— RandomResize([800], max_size=1333) regardless of input size). The
+`detection_size` knob exists (utils/config.py TextEffectConfig); this
+experiment measures the fps-vs-mask-fidelity trade at
+detection_size ∈ {256, 512, 640, 800} on a real clip
+(data/content_vids/peter.mp4, 256px video-lane frames) so the default is
+set by data, not by guess.
+
+Method:
+- seeded DINO+SAM (zero-egress env; re-run on weight arrival —
+  weights/verify_all.py runbook): logits are deterministic but
+  architecture-random, so box SELECTION is pinned to top-1 score per
+  frame at every detection size (the production 0.3 threshold is not
+  reliably cleared by seeded logits). Detector COMPUTE is identical to
+  the weights-loaded path.
+- fps: full PUBLIC apply_video through the batched masked-text lane
+  (one DINO + one SAM-encode + one Ghiasi program per 8-frame chunk),
+  16 frames, warmup 1 + timed 2 — same harness as
+  video_e2e_masked_text_256px_fps in suite.py.
+- mask fidelity: IoU of the composite (B, H, W) masks at each size vs
+  the 800px recipe on the first chunk. NOTE: with seeded weights the
+  box regressor's resolution response is random — the IoU column is a
+  pipeline-stability reading, not a quality claim; it must be re-read
+  on real checkpoints (PARITY.md, weight-arrival runbook).
+
+Writes masked_video_detsize_{n}_fps / _iou_vs800 into
+benchmarks/results.json and prints one JSON line per metric.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import cv2  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tbist_tpu.compose import pipeline as pipe_lib  # noqa: E402
+from tbist_tpu.models import dino as dino_lib  # noqa: E402
+from tbist_tpu.models import dino_sam, sam as sam_lib  # noqa: E402
+from tbist_tpu.utils.config import (  # noqa: E402
+    EffectRequest, TextEffectConfig, VideoConfig,
+)
+from tbist_tpu.video import video as vid_lib  # noqa: E402
+
+DETS = (256, 512, 640, 800)
+NFRAMES = 16
+PROMPT = "person"
+
+
+def _load_frames() -> np.ndarray:
+    cap = cv2.VideoCapture(os.path.join(REPO, "data/content_vids/peter.mp4"))
+    frames = []
+    while len(frames) < NFRAMES:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.resize(cv2.cvtColor(f, cv2.COLOR_BGR2RGB), (256, 256)))
+    cap.release()
+    assert len(frames) == NFRAMES, len(frames)
+    return np.stack(frames)
+
+
+def main() -> None:
+    key = jax.random.key(0)
+    dino_params = dino_lib.init_params(key)
+    sam_params = sam_lib.init_params(key, sam_lib.BASE)
+    vocab = {"[CLS]": 101, "[SEP]": 102, "[UNK]": 100, PROMPT: 2711, ".": 1012}
+    frames = _load_frames()
+
+    def make_extractor(det: int):
+        def extractor(chunk, prompt, det_size=800, det_max=1333, seg_size=0):
+            frames_dev = dino_sam._device_uint8(np.asarray(chunk))
+            b, h, w = frames_dev.shape[:3]
+            det_hw = dino_sam._detection_size(h, w, det, 1333)
+            _, pending = dino_sam._detect_dispatch_batch(
+                dino_params, frames_dev, prompt, vocab, det_hw=det_hw
+            )
+            embs, scale, snh, snw = sam_lib.encode_uint8_batch(
+                sam_params, sam_lib.BASE, frames_dev
+            )
+            logits = np.asarray(jax.nn.sigmoid(pending["pred_logits"]))
+            pboxes = np.asarray(pending["pred_boxes"])
+            boxes = np.zeros((b, 1, 4), np.float32)
+            for i in range(b):
+                q = int(logits[i].max(axis=1).argmax())
+                boxes[i, 0] = dino_sam._boxes_to_xyxy(
+                    pboxes[i][q : q + 1], h, w
+                )[0]
+            return sam_lib.masks_from_embedding_batch(
+                sam_params, sam_lib.BASE, embs, scale, snh, snw, h, w,
+                boxes, np.ones((b, 1), bool),
+            )
+
+        return extractor
+
+    results = {}
+    ref_masks = None
+    with tempfile.TemporaryDirectory() as tmp:
+        in_path = os.path.join(tmp, "in.mp4")
+        wr = cv2.VideoWriter(
+            in_path, cv2.VideoWriter_fourcc(*"mp4v"), 8.0, (256, 256)
+        )
+        for f in frames:
+            wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        wr.release()
+
+        req = EffectRequest(
+            text=TextEffectConfig(
+                style_prompt="starry night", location_prompt=PROMPT
+            ),
+            video=VideoConfig(frame_batch=8),
+        )
+
+        # fidelity first, from 800 down (the 800 masks are the yardstick)
+        masks_by_det = {}
+        for det in sorted(DETS, reverse=True):
+            m = np.asarray(make_extractor(det)(frames[:8], PROMPT + "."))
+            masks_by_det[det] = m
+        ref_masks = masks_by_det[800]
+        for det in DETS:
+            m = masks_by_det[det]
+            inter = np.logical_and(m, ref_masks).sum()
+            union = np.logical_or(m, ref_masks).sum()
+            results[f"masked_video_detsize_{det}_iou_vs800"] = (
+                float(inter) / float(union) if union else 1.0
+            )
+
+        for det in DETS:
+            mreg = pipe_lib.ModelRegistry(
+                batch_mask_extractor=make_extractor(det)
+            )
+
+            def run():
+                return vid_lib.apply_video(
+                    in_path, req, pipe_lib.EffectInputs(), mreg,
+                    out_path=os.path.join(tmp, "out.mp4"),
+                )
+
+            run()  # warmup: compile
+            t0 = time.perf_counter()
+            for _ in range(2):
+                run()
+            dt = (time.perf_counter() - t0) / 2
+            results[f"masked_video_detsize_{det}_fps"] = NFRAMES / dt
+
+    out_path = os.path.join(REPO, "benchmarks", "results.json")
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    for k, v in results.items():
+        print(json.dumps({"metric": k, "value": round(v, 4)}))
+
+
+if __name__ == "__main__":
+    main()

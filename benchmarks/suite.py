@@ -511,6 +511,32 @@ def _measure(
         e2e_200()
         results["e2e_clipstyler_200iter_warm_s"] = time.perf_counter() - t0
 
+        # 7b. the same cold one-shot shape with the AOT executable cache
+        # (utils/aot.py, VERDICT r4 missing #3): the compile is replaced
+        # by deserializing a persisted executable — what a cold CLI run
+        # with TBIST_AOT_CACHE=1 and a populated weights_cache/aot sees.
+        import tempfile as _tf
+
+        from tbist_tpu.utils import aot as aot_lib
+
+        with _tf.TemporaryDirectory() as adir:
+            os.environ["TBIST_AOT_CACHE"] = "1"
+            os.environ["TBIST_AOT_DIR"] = adir
+            try:
+                aot_lib._LOADED.clear()
+                e2e_200()  # lower+compile via the AOT path, persist blob
+                aot_lib._LOADED.clear()
+                jax.clear_caches()
+                t0 = time.perf_counter()
+                e2e_200()
+                results["e2e_clipstyler_200iter_cold_aot_s"] = (
+                    time.perf_counter() - t0
+                )
+            finally:
+                del os.environ["TBIST_AOT_CACHE"]
+                del os.environ["TBIST_AOT_DIR"]
+                aot_lib._LOADED.clear()
+
     # 8. end-to-end text chain (r2 VERDICT #5): prompt -> seeded DINO+SAM
     # location mask -> Ghiasi text transfer -> emoji-stencil composite —
     # SURVEY §3.2's richest path as one user-visible latency.

@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", choices=["lbfgs", "adam"], default="lbfgs")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 VGG trunk (+~16%% iters/s on TPU)")
+    p.add_argument("--aot-cache", action="store_true",
+                   help="persist/load serialized executables in "
+                   "weights_cache/aot so a cold one-shot run skips the "
+                   "XLA compile (equivalent to TBIST_AOT_CACHE=1)")
     p.add_argument("--resume-dir",
                    help="checkpoint dir: resumable optimization in segments")
     p.add_argument("--segment-steps", type=int, default=100,
@@ -134,6 +138,10 @@ def request_from_args(args) -> EffectRequest:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.aot_cache:
+        import os
+
+        os.environ["TBIST_AOT_CACHE"] = "1"
     req = request_from_args(args)
     metrics = RunMetrics()
     if args.resume_dir and args.style_transfer and args.image and args.style:

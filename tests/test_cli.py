@@ -63,3 +63,32 @@ class TestCliMain:
              "--resume-dir", str(tmp_path / "ckpt"), "--out", str(out2)]
         )
         assert rc == 0 and out2.exists()
+
+    def test_aot_cache_flag(self, tiny_image, tiny_style, tmp_path,
+                            monkeypatch):
+        """--aot-cache persists a serialized executable and a second cold
+        process-shape run loads it (utils/aot.py; mechanism covered in
+        depth by tests/test_gatys.py TestAotCache)."""
+        from tbist_tpu.utils import aot
+
+        monkeypatch.setenv("TBIST_AOT_DIR", str(tmp_path / "aot"))
+        monkeypatch.delenv("TBIST_AOT_CACHE", raising=False)
+        aot._LOADED.clear()
+        out = tmp_path / "out.png"
+        rc = cli.main(
+            ["--image", tiny_image, "--style", tiny_style, "--style-transfer",
+             "--steps", "2", "--aot-cache", "--out", str(out)]
+        )
+        assert rc == 0 and out.exists()
+        blobs = list((tmp_path / "aot").glob("gatys_stylize-*.jaxexec"))
+        assert len(blobs) == 1 and blobs[0].stat().st_size > 0
+        aot._LOADED.clear()  # fresh-process shape: must load from disk
+        out2 = tmp_path / "out2.png"
+        rc = cli.main(
+            ["--image", tiny_image, "--style", tiny_style, "--style-transfer",
+             "--steps", "2", "--aot-cache", "--out", str(out2)]
+        )
+        assert rc == 0 and out2.exists()
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(out)), np.asarray(Image.open(out2))
+        )
