@@ -69,8 +69,11 @@ def _load_frames() -> np.ndarray:
             break
         frames.append(cv2.resize(cv2.cvtColor(f, cv2.COLOR_BGR2RGB), (256, 256)))
     cap.release()
-    assert len(frames) == NFRAMES, len(frames)
-    return np.stack(frames)
+    assert frames, "no frames decoded"
+    n_real = len(frames)
+    while len(frames) < NFRAMES:  # clip shorter than NFRAMES: cycle it
+        frames.append(frames[len(frames) % n_real])
+    return np.stack(frames[:NFRAMES])
 
 
 def main() -> None:
