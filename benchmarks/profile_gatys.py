@@ -63,6 +63,12 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated variant names to run (default: all) — large "
+        "sizes compile each variant separately, so a 2048px trace run "
+        "wants --only full_lbfgs_f32",
+    )
     args = ap.parse_args()
 
     params = vgg_weights.get_params()
@@ -93,6 +99,12 @@ def main():
         ),
     }
 
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",")}
+        unknown = keep - set(variants)
+        assert not unknown, f"unknown variants: {unknown}"
+        variants = {k: v for k, v in variants.items() if k in keep}
+
     results = {}
     for name, cfg in variants.items():
         sec = time_loop(content, [style], cfg, params, args.steps)
@@ -112,7 +124,10 @@ def main():
     # backward is ~2x fwd; content/tv/edge negligible FLOPs.
     fwd = _vgg_flops_per_image(args.size, args.size, base.style_layers)
     total = 3.0 * fwd  # fwd + ~2x bwd
-    sec = results["full_lbfgs_f32"]
+    sec = results.get("full_lbfgs_f32")
+    if sec is None:  # --only without the headline variant
+        print(json.dumps({k: round(1.0 / v, 2) for k, v in results.items()}))
+        return
     print(f"\nanalytic VGG flops/iter (fwd+bwd): {total / 1e9:.1f} GFLOP")
     print(f"achieved: {total / sec / 1e12:.1f} TFLOP/s")
     print(
